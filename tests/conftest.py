@@ -1,0 +1,118 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding code paths
+(mesh creation, pjit partitioning, collectives) execute without TPU hardware —
+the JAX-native substitute for a multi-chip fixture (SURVEY.md §4).
+
+These env vars must be set before jax initializes its backends, hence the
+module-level assignment here (conftest imports before any test module).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+# The dataset factory and evaluator resolve relative paths against this root.
+os.environ.setdefault("VLM_TPU_ROOT", str(REPO_ROOT))
+
+
+# --------------------------------------------------------------------------
+# Synthetic dataset fixtures in the standard disk layout
+# (<base>/<name>/<split>/{images/, labels.csv}) — the "TestDataset" idea the
+# reference implies but never ships (SURVEY.md §4).
+# --------------------------------------------------------------------------
+
+def _write_image(path: Path, seed: int, size=(32, 32)):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, size=(*size, 3), dtype=np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def make_face_dataset(base: Path, name: str, split: str, rows, *,
+                      extensionless: bool = False):
+    """Create a face-layout dataset. ``rows`` is a list of dicts with keys
+    gender/age/ethnicity/emotion/identity (missing → empty CSV field)."""
+    droot = base / name / split
+    (droot / "images").mkdir(parents=True, exist_ok=True)
+    lines = ["Path,Gender,Age,Ethnicity,Facial Emotion,Identity"]
+    for i, r in enumerate(rows):
+        img_name = f"img_{i:04d}.jpg"
+        _write_image(droot / "images" / img_name, seed=i)
+        csv_path = f"{name}/{split}/images/" + (
+            f"img_{i:04d}" if extensionless else img_name)
+        vals = [str(r.get(k, "")) for k in
+                ("gender", "age", "ethnicity", "emotion")]
+        ident = str(r.get("identity", ""))
+        lines.append(",".join([csv_path] + vals + [ident]))
+    (droot / "labels.csv").write_text("\n".join(lines) + "\n")
+    return droot
+
+
+def make_mivia_dataset(base: Path, split: str, rows):
+    """Create a MiviaPar-layout dataset. ``rows`` is a list of
+    (upper, lower, gender, bag, hat) tuples."""
+    droot = base / "MiviaPar" / split
+    (droot / "images").mkdir(parents=True, exist_ok=True)
+    lines = []
+    for i, r in enumerate(rows):
+        img_name = f"p_{i:04d}.jpg"
+        _write_image(droot / "images" / img_name, seed=1000 + i)
+        lines.append(",".join([img_name] + [str(v) for v in r]))
+    (droot / "labels.csv").write_text("\n".join(lines) + "\n")
+    return droot
+
+
+@pytest.fixture
+def face_base(tmp_path):
+    """A tiny TestDataset with train/val/test splits and class_counts.json."""
+    base = tmp_path / "datasets"
+    rows = [
+        {"gender": 0, "age": 25.0, "ethnicity": 0, "emotion": 3, "identity": "a"},
+        {"gender": 1, "age": 4.0, "ethnicity": 1, "emotion": 6, "identity": "b"},
+        {"gender": 1, "age": 71.0, "ethnicity": 2, "emotion": 0},
+        {"gender": "", "age": "", "ethnicity": "", "emotion": ""},
+        {"gender": 0, "age": 33.0, "ethnicity": 3, "emotion": 5, "identity": "c"},
+        {"gender": 1, "age": 15.0, "ethnicity": 0, "emotion": 1, "identity": "d"},
+    ]
+    for split in ("train", "val", "test"):
+        make_face_dataset(base, "TestDataset", split, rows)
+    import json
+    counts = {
+        "gender": {"0": 2, "1": 3},
+        "age": {"3": 1, "1": 1, "8": 1, "4": 1, "2": 1, "-1": 7},
+        "ethnicity": {"0": 2, "1": 1, "2": 1, "3": 1},
+        "emotion": {"3": 1, "6": 1, "0": 1, "5": 1, "1": 1},
+    }
+    (base / "TestDataset" / "train" / "class_counts.json").write_text(
+        json.dumps(counts))
+    return base
+
+
+@pytest.fixture
+def mivia_base(tmp_path):
+    base = tmp_path / "datasets"
+    rows = [
+        ("black", "blue", 0, 1, 0),
+        ("red", "white", 1, 0, 1),
+        (3, 4, 0, "yes", "no"),
+        ("green", "unknowncolor", 1, 1, 1),
+    ]
+    for split in ("train", "val", "test"):
+        make_mivia_dataset(base, split, rows)
+    return base
