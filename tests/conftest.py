@@ -10,11 +10,20 @@ module-level assignment here (conftest imports before any test module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# Pallas kernels run in interpreter mode on the CPU backend.
+os.environ.setdefault("VLM_TPU_PALLAS_INTERPRET", "1")
+
+# Force the CPU backend via jax.config (NOT the JAX_PLATFORMS env var: this
+# environment's TPU plugin re-registers itself at interpreter startup and
+# overrides the env var, leaving a broken mixed state that hangs on first
+# dispatch — config.update after import wins).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,90 @@
+"""Ops tests: preprocessing recipes and attention kernel parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from vlm_tpu.ops import preprocess as pp
+from vlm_tpu.ops.attention import attention
+
+
+class TestPreprocess:
+    def _img(self, seed=0, size=(100, 80)):
+        rng = np.random.default_rng(seed)
+        return Image.fromarray(
+            rng.integers(0, 255, (*size, 3), dtype=np.uint8))
+
+    @pytest.mark.parametrize("name,size", [("llava", 336), ("paligemma", 224),
+                                           ("blip2", 224)])
+    def test_host_resize_shapes(self, name, size):
+        arr = pp.host_resize(self._img(), pp.recipe_for(name))
+        assert arr.shape == (size, size, 3) and arr.dtype == np.uint8
+
+    def test_shortest_edge_crop_is_center(self):
+        # A 200x100 image resized for CLIP: shortest edge 100 → 336,
+        # width 672, crop center 336.
+        img = self._img(size=(100, 200))  # PIL size (200, 100) w,h
+        arr = pp.host_resize(img, pp.recipe_for("llava"))
+        assert arr.shape == (336, 336, 3)
+
+    def test_normalize_matches_manual(self):
+        batch = pp.host_batch([self._img(), self._img(1)],
+                              pp.recipe_for("paligemma"))
+        out = pp.normalize_images(jnp.asarray(batch),
+                                  recipe=pp.recipe_for("paligemma"),
+                                  compute_dtype=jnp.float32)
+        exp = (batch.astype(np.float32) / 255.0 - 0.5) / 0.5
+        assert float(jnp.abs(out - exp).max()) < 1e-6
+
+    def test_pallas_normalize_matches_jnp(self):
+        recipe = pp.recipe_for("blip2")
+        batch = pp.host_batch([self._img(2)], recipe)
+        a = pp.normalize_images(jnp.asarray(batch), recipe=recipe,
+                                compute_dtype=jnp.float32)
+        b = pp.normalize_images(jnp.asarray(batch), recipe=recipe,
+                                compute_dtype=jnp.float32, use_pallas=True)
+        assert float(jnp.abs(a - b).max()) < 1e-6
+
+    def test_unknown_recipe_raises(self):
+        with pytest.raises(ValueError):
+            pp.recipe_for("nope")
+
+
+class TestAttention:
+    def _qkv(self, b=2, h=4, s=96, d=64, sk=None, seed=0):
+        rng = np.random.default_rng(seed)
+        sk = sk or s
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, h, sk, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, sk, d)), jnp.float32)
+        return q, k, v
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_flash_matches_xla(self, causal):
+        q, k, v = self._qkv()
+        a = attention(q, k, v, causal=causal, impl="xla")
+        b = attention(q, k, v, causal=causal, impl="flash")
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def test_flash_cached_prefix_alignment(self):
+        q, k, v = self._qkv()
+        q2 = q[:, :, :7]
+        a = attention(q2, k, v, causal=True, impl="xla")
+        b = attention(q2, k, v, causal=True, impl="flash")
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def test_kv_len_masks_padding(self):
+        q, k, v = self._qkv(s=8)
+        kv_len = jnp.array([4, 8])
+        out = attention(q, k, v, kv_len=kv_len, impl="xla")
+        # Sequence 0 must be independent of k/v beyond position 4.
+        k2 = k.at[0, :, 4:].set(99.0)
+        v2 = v.at[0, :, 4:].set(-99.0)
+        out2 = attention(q, k2, v2, kv_len=kv_len, impl="xla")
+        assert float(jnp.abs(out - out2).max()) < 1e-6
+
+    def test_flash_rejects_kv_len(self):
+        q, k, v = self._qkv(s=8)
+        with pytest.raises(ValueError):
+            attention(q, k, v, kv_len=jnp.array([4, 8]), impl="flash")

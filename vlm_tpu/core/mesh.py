@@ -1,0 +1,78 @@
+"""Device mesh construction and axis conventions.
+
+The framework uses a 2-D logical mesh:
+
+- ``"data"``: batch-sharded SPMD data parallelism (eval batches, probe
+  training batches, decode slots);
+- ``"model"``: tensor-parallel sharding of the large decoder matmuls.
+
+This replaces the reference's only multi-device mechanism — HF Accelerate's
+``device_map="auto"`` vertical layer split (`/root/reference/models/base_model.py:81`) —
+with XLA-compiled collectives over ICI (SURVEY.md §5 "Distributed
+communication backend").
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh.
+
+    Args:
+        data: size of the data axis; ``-1`` = all remaining devices.
+        model: size of the model (tensor-parallel) axis.
+        devices: device list (defaults to ``jax.devices()``).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1:
+        raise ValueError(f"model axis size must be >= 1, got {model}")
+    if n % model != 0:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} does not cover {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    """1x1 mesh over the first device (single-chip paths)."""
+    return make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Batch-dim sharding: first axis over "data", rest replicated."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@contextlib.contextmanager
+def maybe_mesh(mesh: Optional[Mesh]):
+    """Enter ``mesh`` as ambient if given, else no-op."""
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

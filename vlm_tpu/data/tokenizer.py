@@ -1,0 +1,83 @@
+"""Tokenizer abstraction: HF tokenizers when weights/vocab are available
+locally, and a deterministic byte-level fallback otherwise.
+
+The reference loads tokenizers implicitly through ``AutoProcessor``
+(`/root/reference/models/base_model.py:31`). Here tokenization is explicit:
+generation operates on ids; the model adapters own prompt templates.
+
+The byte fallback exists because this framework must be fully functional —
+tests, benchmarks, multi-chip dry-runs — without any pretrained artifacts
+(zero-egress environments). It is NOT a quality substitute: real checkpoints
+ship their own tokenizer files, which :func:`load_tokenizer` picks up.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Protocol, Sequence
+
+
+class Tokenizer(Protocol):
+    bos_id: int
+    eos_id: int
+    pad_id: int
+
+    def encode(self, text: str, add_bos: bool = False) -> List[int]: ...
+    def decode(self, ids: Sequence[int]) -> str: ...
+
+
+class ByteTokenizer:
+    """UTF-8 byte-level tokenizer: ids 3..258 are bytes 0..255.
+
+    Specials: 0=pad, 1=bos, 2=eos. Deterministic, lossless, vocab 259 —
+    fits the ``"test"`` model configs (vocab 512).
+    """
+    vocab_size = 259
+
+    def __init__(self, bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+
+    def encode(self, text: str, add_bos: bool = False) -> List[int]:
+        ids = [b + 3 for b in text.encode("utf-8")]
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i - 3 for i in ids
+                     if 3 <= int(i) < 259)
+        return data.decode("utf-8", errors="replace")
+
+
+class HFTokenizer:
+    """Wraps a local HF tokenizer (no hub access — local files only)."""
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+        self._tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        self.bos_id = self._tok.bos_token_id or 1
+        self.eos_id = self._tok.eos_token_id or 2
+        self.pad_id = (self._tok.pad_token_id
+                       if self._tok.pad_token_id is not None else 0)
+
+    def encode(self, text: str, add_bos: bool = False) -> List[int]:
+        ids = self._tok.encode(text, add_special_tokens=False)
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids), skip_special_tokens=True)
+
+
+def load_tokenizer(model_path: Optional[str] = None,
+                   *, bos_id: int = 1, eos_id: int = 2,
+                   pad_id: int = 0) -> Tokenizer:
+    """HF tokenizer from ``model_path`` (or ``$VLM_TPU_TOKENIZER``) if local
+    files exist; otherwise the byte-level fallback."""
+    path = model_path or os.getenv("VLM_TPU_TOKENIZER")
+    if path and Path(path).exists():
+        try:
+            return HFTokenizer(path)
+        except Exception as e:
+            print(f"[WARN] HF tokenizer load failed ({e}); using byte fallback")
+    return ByteTokenizer(bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)

@@ -1,0 +1,154 @@
+"""KV-cached batched generation via ``lax.while_loop``.
+
+Replaces the reference's per-image HF ``model.generate`` Python loop
+(`/root/reference/scripts/prompt_inference.py:75-79`,
+`models/base_model.py:68-69`) with a TPU-native design:
+
+- one jitted **prefill** over the batch of merged (text+image) prompts writes
+  the slot-based KV cache and yields the first token;
+- one jitted **decode loop** (``lax.while_loop``) emits up to
+  ``max_new_tokens`` greedily (or with temperature sampling), with an
+  early-exit condition the moment every sequence has hit EOS — no
+  data-dependent Python control flow, static shapes throughout;
+- the cache is donated through the loop, so decoding is in-place in HBM.
+
+Prompts are batch-constant (fixed per dataset run), so a single compiled
+(prompt_len, batch) shape serves the whole dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.configs import VLMConfig
+from ..models.decoder import init_kv_cache
+from ..models.vlm import VLMModule, num_image_tokens
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """tokens: [B, max_new] generated ids (pad after EOS); lengths: [B]
+    number of generated tokens (including the EOS token if emitted)."""
+    tokens: jax.Array
+    lengths: jax.Array
+
+
+def _sample(logits: jax.Array, temperature: float, rng: Optional[jax.Array],
+            step: jax.Array) -> jax.Array:
+    if temperature <= 0.0 or rng is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    key = jax.random.fold_in(rng, step)
+    return jax.random.categorical(
+        key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+class GenerationEngine:
+    """Compiled generation over a :class:`VLMModule`.
+
+    Args:
+        module: the assembled VLM.
+        cfg: its config (for cache geometry and EOS/pad ids).
+        batch_size: decode slots (compiled batch).
+        max_prompt_len: static merged-prompt budget (pre + image + post).
+        max_new_tokens: generation cap (reference default 100,
+            `configs/prompt_inference.yaml:9`).
+    """
+
+    def __init__(self, module: VLMModule, cfg: VLMConfig, *,
+                 batch_size: int, max_prompt_len: int,
+                 max_new_tokens: int = 100,
+                 temperature: float = 0.0,
+                 cache_dtype=jnp.bfloat16,
+                 eos_id: Optional[int] = None,
+                 pad_id: Optional[int] = None):
+        self.module = module
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.cache_len = max_prompt_len + max_new_tokens
+        self.cache_dtype = cache_dtype
+        self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
+        self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
+        self._generate = jax.jit(self._generate_impl, donate_argnums=())
+
+    def new_cache(self) -> Dict[str, jax.Array]:
+        return init_kv_cache(self.cfg.decoder, self.batch_size,
+                             self.cache_len, self.cache_dtype)
+
+    # ------------------------------------------------------------------
+    def _generate_impl(self, params, pixels, pre_ids, post_ids, prompt_len,
+                       cache, rng):
+        mod = self.module
+        last_logits, cache = mod.apply(params, pixels, pre_ids, post_ids,
+                                       cache, prompt_len, method="prefill")
+        max_new = self.max_new_tokens
+        b = pixels.shape[0]
+
+        tok0 = _sample(last_logits, self.temperature, rng,
+                       jnp.asarray(0, jnp.int32))
+        tokens = jnp.full((b, max_new), self.pad_id, jnp.int32)
+        tokens = tokens.at[:, 0].set(tok0)
+        done = tok0 == self.eos_id
+        lengths = jnp.ones((b,), jnp.int32)
+
+        def cond(state):
+            step, _, _, done, _, _ = state
+            return jnp.logical_and(step < max_new, ~jnp.all(done))
+
+        def body(state):
+            step, tokens, cur, done, lengths, cache = state
+            pos = prompt_len + step - 1           # position of `cur`
+            logits, cache = mod.apply(params, cur[:, None], pos, cache,
+                                      method="decode_step")
+            nxt = _sample(logits, self.temperature, rng, step)
+            nxt = jnp.where(done, self.pad_id, nxt)
+            tokens = tokens.at[:, step].set(
+                jnp.where(done, self.pad_id, nxt))
+            new_done = jnp.logical_or(done, nxt == self.eos_id)
+            lengths = lengths + jnp.where(done, 0, 1)
+            return (step + 1, tokens, nxt, new_done, lengths, cache)
+
+        state = (jnp.asarray(1, jnp.int32), tokens, tok0, done, lengths,
+                 cache)
+        _, tokens, _, done, lengths, cache = jax.lax.while_loop(
+            cond, body, state)
+        return tokens, lengths
+
+    # ------------------------------------------------------------------
+    def generate(self, params, pixels: jax.Array, pre_ids: jax.Array,
+                 post_ids: jax.Array, prompt_len: jax.Array,
+                 rng: Optional[jax.Array] = None) -> GenerationResult:
+        """Batched generation. ``pixels`` [B,H,W,3] normalized; ``pre_ids``/
+        ``post_ids`` [B, P] left-aligned (pad with pad_id); ``prompt_len``
+        [B] true merged lengths."""
+        cache = self.new_cache()
+        if rng is None:
+            rng = jax.random.key(0)
+        tokens, lengths = self._generate(params, pixels, pre_ids, post_ids,
+                                         prompt_len, cache, rng)
+        return GenerationResult(tokens=tokens, lengths=lengths)
+
+
+def build_prompt_ids(tokenizer, pre_text: str, post_text: str,
+                     n_image_tokens: int, batch: int,
+                     add_bos_to_pre: bool = False,
+                     add_bos_to_post: bool = False):
+    """Tokenize the (batch-constant) prompt halves → device-ready arrays.
+
+    Returns (pre_ids [B,P1], post_ids [B,P2], prompt_len [B]).
+    """
+    pre = tokenizer.encode(pre_text, add_bos=add_bos_to_pre) if (
+        pre_text or add_bos_to_pre) else []
+    post = tokenizer.encode(post_text, add_bos=add_bos_to_post) if (
+        post_text or add_bos_to_post) else []
+    pre_ids = jnp.asarray([pre] * batch, jnp.int32).reshape(batch, len(pre))
+    post_ids = jnp.asarray([post] * batch, jnp.int32).reshape(batch, len(post))
+    total = len(pre) + n_image_tokens + len(post)
+    prompt_len = jnp.full((batch,), total, jnp.int32)
+    return pre_ids, post_ids, prompt_len

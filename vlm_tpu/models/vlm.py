@@ -1,0 +1,155 @@
+"""Assembled VLM: vision tower → projector → decoder, as one flax module.
+
+Owns the full path the reference delegates to HF internals
+(`/root/reference/models/base_model.py:66-74`, SURVEY.md §3.5):
+encoder → projector (MLP / linear / Q-Former) → token merge → causal LM.
+
+Token merge layout (matching each family's public prompt format):
+
+- LLaVA:     [text-prefix] [576 image tokens] [text-suffix]
+- PaliGemma: [256 image tokens] [BOS + prompt + "\\n"]
+- BLIP-2:    [32 query tokens] [BOS + "Question: … Answer:"]
+
+All three reduce to ``concat(embed(pre_ids), image_embeds, embed(post_ids))``
+with possibly-empty pre/post, so one static-shape merge covers every family —
+prompts are batch-constant in this framework (the per-dataset prompt is fixed,
+only images vary), which keeps everything jit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .configs import VLMConfig
+from .decoder import Decoder, init_kv_cache
+from .projector import build_projector
+from .vit import ViTEncoder
+
+
+class VLMModule(nn.Module):
+    cfg: VLMConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        cfg = self.cfg
+        self.vision = ViTEncoder(cfg.vision, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 attn_impl=self.attn_impl, name="vision")
+        self.projector = build_projector(cfg, self.dtype, self.param_dtype)
+        self.decoder = Decoder(cfg.decoder, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               attn_impl=self.attn_impl, name="decoder")
+
+    # ---------------- vision ----------------
+    def encode_images(self, pixels: jax.Array) -> jax.Array:
+        """[B,H,W,3] normalized pixels → [B, T_img, decoder_hidden]."""
+        cfg = self.cfg
+        out = self.vision(pixels, keep_hidden_states=(
+            cfg.vision_feature_layer != -1))
+        if cfg.vision_feature_layer == -1:
+            feats = out["last_hidden_state"]
+        else:
+            # LLaVA taps the penultimate encoder layer, pre-post-norm
+            # (HF vision_feature_layer=-2 semantics).
+            feats = out["hidden_states"][cfg.vision_feature_layer]
+        if cfg.drop_cls_for_llm and cfg.vision.use_cls_token:
+            feats = feats[:, 1:]
+        return self.projector(feats)
+
+    def vision_features(self, pixels: jax.Array) -> jax.Array:
+        """Probing features [B, D] with per-family pooling
+        (reference: llava.py:101-119, blip2.py:83-95, paligemma.py:100-112)."""
+        out = self.vision(pixels, keep_hidden_states=False)
+        pooling = self.cfg.backbone_pooling
+        if pooling == "pooler":
+            return out["pooled"]
+        if pooling == "cls":
+            return out["last_hidden_state"][:, 0]
+        return jnp.mean(out["last_hidden_state"], axis=1)
+
+    # ---------------- merge + decode ----------------
+    def merge_embeds(self, pre_ids: jax.Array, image_embeds: jax.Array,
+                     post_ids: jax.Array) -> jax.Array:
+        """[B,P1],[B,T,H],[B,P2] → [B, P1+T+P2, H]."""
+        parts = []
+        if pre_ids.shape[1] > 0:
+            parts.append(self.decoder.embed_tokens(pre_ids))
+        parts.append(image_embeds.astype(self.dtype))
+        if post_ids.shape[1] > 0:
+            parts.append(self.decoder.embed_tokens(post_ids))
+        return jnp.concatenate(parts, axis=1)
+
+    def __call__(self, pixels: jax.Array, pre_ids: jax.Array,
+                 post_ids: jax.Array,
+                 kv_len: Optional[jax.Array] = None):
+        """Full forward (no cache): logits [B, S, V]. Used by training paths,
+        compile checks, and scoring."""
+        img = self.encode_images(pixels)
+        embeds = self.merge_embeds(pre_ids, img, post_ids)
+        logits, _ = self.decoder(input_embeds=embeds, kv_len=kv_len,
+                                 causal=True)
+        return logits
+
+    def prefill(self, pixels: jax.Array, pre_ids: jax.Array,
+                post_ids: jax.Array, cache: Dict[str, jax.Array],
+                prompt_len: jax.Array):
+        """Run the prompt through the decoder, writing the KV cache.
+
+        Args:
+            prompt_len: [B] true merged lengths (pre + T_img + post, minus
+                right padding in post_ids).
+        Returns: (next_token_logits [B, V], cache).
+        """
+        img = self.encode_images(pixels)
+        embeds = self.merge_embeds(pre_ids, img, post_ids)
+        b, s, _ = embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        write_start = jnp.zeros((b,), jnp.int32)
+        logits, cache = self.decoder(
+            input_embeds=embeds, positions=positions, cache=cache,
+            write_start=write_start, kv_len=prompt_len, causal=True)
+        # Gather the logits at each sequence's final real token.
+        idx = jnp.clip(prompt_len - 1, 0, s - 1)
+        last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+        return last, cache
+
+    def decode_step(self, token_ids: jax.Array, seq_len: jax.Array,
+                    cache: Dict[str, jax.Array]):
+        """One token per sequence. ``token_ids`` [B,1]; ``seq_len`` [B] is the
+        current length (the new token's position). Returns
+        (logits [B, V], cache)."""
+        positions = seq_len[:, None]
+        logits, cache = self.decoder(
+            input_ids=token_ids, positions=positions, cache=cache,
+            write_start=seq_len, kv_len=seq_len + 1, causal=False)
+        return logits[:, 0], cache
+
+
+def num_image_tokens(cfg: VLMConfig) -> int:
+    if cfg.projector == "qformer":
+        return cfg.qformer.num_query_tokens
+    n = cfg.vision.num_patches
+    if not cfg.drop_cls_for_llm and cfg.vision.use_cls_token:
+        n += 1
+    return n
+
+
+def init_vlm(cfg: VLMConfig, rng: jax.Array, dtype=jnp.bfloat16,
+             param_dtype=jnp.float32, attn_impl: str = "auto"):
+    module = VLMModule(cfg, dtype=dtype, param_dtype=param_dtype,
+                       attn_impl=attn_impl)
+    px = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                   dtype)
+    pre = jnp.zeros((1, 2), jnp.int32)
+    post = jnp.zeros((1, 2), jnp.int32)
+    params = module.init(rng, px, pre, post)
+    return module, params
+
+
+__all__ = ["VLMModule", "init_vlm", "init_kv_cache", "num_image_tokens"]

@@ -1,0 +1,155 @@
+"""Attention ops: fused Pallas TPU kernel + XLA reference path.
+
+The reference delegates attention to HF/PyTorch CUDA internals
+(`/root/reference/models/base_model.py:69`); here it is owned by the
+framework. Sequence lengths in this workload are short (≤ 577 vision tokens,
+≤ ~1.2k decode tokens — SURVEY.md §5 "Long-context"), so K/V for one (batch,
+head) always fits in VMEM. The Pallas kernel therefore uses the simple
+optimal schedule for this regime: full K/V resident in VMEM, queries tiled,
+scores materialized per q-tile in fp32 — one HBM pass over Q/K/V/O, MXU for
+both matmuls, no streaming-softmax bookkeeping.
+
+``attention(..., impl="xla")`` is the fallback used for CPU tests, gradients
+(probing with unfrozen backbone layers), and arbitrary masks.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+# Run Pallas kernels in interpreter mode (CPU tests exercise the same kernel
+# code paths without TPU hardware).
+PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _xla_attention(q, k, v, *, causal: bool, scale: float,
+                   kv_len: Optional[jax.Array] = None,
+                   bias: Optional[jax.Array] = None) -> jax.Array:
+    """Reference attention. q/k/v: [B, H, S, D] (k/v: [B, H, Sk, D])."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
+    sq, sk = q.shape[2], k.shape[2]
+    if causal:
+        # Align the causal diagonal to the *end* of the kv axis so cached
+        # prefixes (sk > sq) attend correctly.
+        offset = sk - sq
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where((ki <= qi + offset)[None, None], s, NEG_INF)
+    if kv_len is not None:
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sk,), 0)
+        mask = ki[None, :] < kv_len[:, None]                  # [B, Sk]
+        s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                  offset: int):
+    """One (batch*head, q_tile) program: full-K/V fused attention.
+
+    ``offset = sk - sq`` aligns the causal diagonal to the end of the kv axis
+    (cached-prefix decoding). Padded query rows attend unmasked; their outputs
+    are sliced away by the caller.
+    """
+    from jax.experimental import pallas as pl
+
+    q = q_ref[0].astype(jnp.float32)                 # [Tq, D]
+    k = k_ref[0].astype(jnp.float32)                 # [Sk, D]
+    v = v_ref[0]                                     # [Sk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [Tq, Sk]
+    if causal:
+        i = pl.program_id(1)
+        tq = q.shape[0]
+        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * tq
+        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(ki <= qi + offset, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "q_tile"))
+def _flash_attention(q, k, v, *, causal: bool, q_tile: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = d ** -0.5
+    bh = b * h
+    q3 = q.reshape(bh, sq, d)
+    k3 = k.reshape(bh, sk, d)
+    v3 = v.reshape(bh, sk, d)
+
+    tq = min(q_tile, sq)
+    # Pad sq up to a tile multiple; padded queries attend to everything but
+    # their outputs are sliced away.
+    pad = (-sq) % tq
+    if pad:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad), (0, 0)))
+    nq = (sq + pad) // tq
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal,
+                          offset=sk - sq),
+        out_shape=jax.ShapeDtypeStruct((bh, sq + pad, d), q.dtype),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda g, i: (g, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=PALLAS_INTERPRET,
+    )(q3, k3, v3)
+    if pad:
+        out = out[:, :sq]
+    return out.reshape(b, h, sq, d)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+              causal: bool = False,
+              kv_len: Optional[jax.Array] = None,
+              bias: Optional[jax.Array] = None,
+              impl: str = "auto") -> jax.Array:
+    """Multi-head attention. ``q/k/v``: [B, H, S, D].
+
+    Args:
+        causal: causal masking with the diagonal aligned to the end of the
+            kv axis (supports cached prefixes where Sk > Sq).
+        kv_len: optional [B] valid kv lengths (padding mask).
+        bias: optional additive bias [B|1, H|1, Sq, Sk] (XLA path only).
+        impl: "auto" (Pallas on TPU when applicable, else XLA), "flash", "xla".
+    """
+    scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_flash = (on_tpu and bias is None and kv_len is None
+                     and q.shape[-1] in (64, 128, 256))
+        impl = "flash" if use_flash else "xla"
+    if impl == "flash":
+        if bias is not None or kv_len is not None:
+            raise ValueError("flash impl supports causal masking only")
+        return _flash_attention(q, k, v, causal=causal)
+    return _xla_attention(q, k, v, causal=causal, scale=scale,
+                          kv_len=kv_len, bias=bias)

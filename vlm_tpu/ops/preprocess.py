@@ -1,0 +1,194 @@
+"""Image preprocessing: per-model recipes, host decode/resize, fused device
+normalization.
+
+Replaces the reference's per-image PIL + HF ``AutoProcessor`` path
+(`/root/reference/models/base_model.py:66`, invoked once per image inside the
+Python generate loop) with a TPU-first split:
+
+- **host side** (parallelizable, exact HF parity): JPEG decode + PIL resize /
+  center-crop with the same resample filters and sizes the HF processors use.
+  Keeping the resize in PIL is deliberate — it is bit-identical to the
+  reference preprocessing, and uint8 images ship to the device at 4× less
+  host→device bandwidth than float32;
+- **device side** (fused, batched): uint8 → compute-dtype rescale+normalize as
+  one Pallas kernel (`normalize_images`), fused by XLA into the downstream
+  patch-embedding convolution.
+
+Recipes (public model-card preprocessing constants):
+
+- CLIP ViT-L/14-336 (LLaVA-1.5): shortest-edge 336 bicubic resize, center
+  crop 336, CLIP mean/std.
+- SigLIP So400m/14-224 (PaliGemma): warp resize to 224×224 bicubic,
+  mean/std 0.5.
+- EVA ViT-g (BLIP-2): warp resize to 224×224 bicubic, CLIP mean/std.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+_PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessRecipe:
+    """One model family's image preprocessing recipe."""
+    image_size: int
+    mean: tuple
+    std: tuple
+    # "shortest_edge_crop": resize shortest edge then center crop (CLIP);
+    # "warp": resize directly to (size, size) (SigLIP, BLIP-2).
+    mode: str = "warp"
+    resample: int = Image.BICUBIC
+
+
+RECIPES = {
+    "llava": PreprocessRecipe(336, CLIP_MEAN, CLIP_STD, mode="shortest_edge_crop"),
+    "clip_l_336": PreprocessRecipe(336, CLIP_MEAN, CLIP_STD, mode="shortest_edge_crop"),
+    "paligemma": PreprocessRecipe(224, SIGLIP_MEAN, SIGLIP_STD, mode="warp"),
+    "siglip_224": PreprocessRecipe(224, SIGLIP_MEAN, SIGLIP_STD, mode="warp"),
+    "blip2": PreprocessRecipe(224, CLIP_MEAN, CLIP_STD, mode="warp"),
+    "eva_vit_g": PreprocessRecipe(224, CLIP_MEAN, CLIP_STD, mode="warp"),
+}
+
+
+def recipe_for(name: str) -> PreprocessRecipe:
+    key = name.lower()
+    if key not in RECIPES:
+        raise ValueError(f"no preprocess recipe for {name!r}; "
+                         f"known: {sorted(RECIPES)}")
+    return RECIPES[key]
+
+
+# ------------------------- host side -------------------------
+
+def host_resize(image: Image.Image, recipe: PreprocessRecipe) -> np.ndarray:
+    """PIL decode+resize exactly like the HF processor; returns uint8 HWC."""
+    img = image.convert("RGB") if image.mode != "RGB" else image
+    s = recipe.image_size
+    if recipe.mode == "warp":
+        img = img.resize((s, s), resample=recipe.resample)
+    elif recipe.mode == "shortest_edge_crop":
+        w, h = img.size
+        short = min(w, h)
+        scale = s / short
+        nw, nh = round(w * scale), round(h * scale)
+        img = img.resize((nw, nh), resample=recipe.resample)
+        left = (nw - s) // 2
+        top = (nh - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+    else:
+        raise ValueError(f"unknown preprocess mode {recipe.mode!r}")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def host_batch(images: Iterable[Image.Image],
+               recipe: PreprocessRecipe) -> np.ndarray:
+    """Stack host-resized images into a uint8 [B, S, S, 3] batch."""
+    return np.stack([host_resize(im, recipe) for im in images], axis=0)
+
+
+# ------------------------- device side -------------------------
+
+def _normalize_jnp(batch_u8: jax.Array, mean: jax.Array, std: jax.Array,
+                   compute_dtype) -> jax.Array:
+    x = batch_u8.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - mean) / std
+    return x.astype(compute_dtype)
+
+
+def _normalize_pallas(batch_u8: jax.Array, scale: jax.Array,
+                      bias: jax.Array, compute_dtype) -> jax.Array:
+    """Fused uint8→normalized kernel: one pass over HBM, VPU-only.
+
+    Folds (x/255 - mean)/std into x*scale + bias with per-channel constants.
+    The batch is viewed as rows of (H*W, C→padded lanes) — but since C=3 is
+    lane-hostile, we instead flatten to (B*H, W*C) rows, broadcasting the
+    per-channel constants along the lane dim with a period of C.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = batch_u8.shape
+    x2 = batch_u8.reshape(b * h, w * c)
+    # Per-lane scale/bias with period C along the last axis.
+    lane_scale = jnp.tile(scale, w).astype(jnp.float32)      # [w*c]
+    lane_bias = jnp.tile(bias, w).astype(jnp.float32)
+
+    rows = b * h
+    row_tile = min(256, rows)
+
+    def kernel(x_ref, s_ref, b_ref, o_ref):
+        x = x_ref[:].astype(jnp.float32)
+        o_ref[:] = (x * s_ref[:] + b_ref[:]).astype(compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, w * c), compute_dtype),
+        grid=(pl.cdiv(rows, row_tile),),
+        in_specs=[
+            pl.BlockSpec((row_tile, w * c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, w * c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_PALLAS_INTERPRET,
+    )(x2, lane_scale[None, :], lane_bias[None, :])
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("recipe", "compute_dtype",
+                                             "use_pallas"))
+def normalize_images(batch_u8: jax.Array, *, recipe: PreprocessRecipe,
+                     compute_dtype=jnp.bfloat16,
+                     use_pallas: bool = False) -> jax.Array:
+    """uint8 [B,S,S,3] → normalized [B,S,S,3] in ``compute_dtype``.
+
+    ``use_pallas=True`` runs the fused Pallas kernel (TPU); the default jnp
+    path lowers to the same fused elementwise op via XLA on any backend.
+    """
+    mean = jnp.asarray(recipe.mean, dtype=jnp.float32)
+    std = jnp.asarray(recipe.std, dtype=jnp.float32)
+    if use_pallas:
+        scale = 1.0 / (255.0 * std)
+        bias = -mean / std
+        return _normalize_pallas(batch_u8, scale, bias, compute_dtype)
+    return _normalize_jnp(batch_u8, mean, std, compute_dtype)
+
+
+def device_resize(batch: jax.Array, size: int,
+                  method: str = "bicubic") -> jax.Array:
+    """Batched on-device resize (jax.image); used by synthetic/bench paths
+    where host PIL parity is not required."""
+    b = batch.shape[0]
+    out = jax.image.resize(batch.astype(jnp.float32),
+                           (b, size, size, batch.shape[-1]), method=method)
+    return out
+
+
+def preprocess_pil_batch(images: Sequence[Image.Image], model_name: str,
+                         compute_dtype=jnp.bfloat16,
+                         use_pallas: bool = False) -> jax.Array:
+    """End-to-end convenience: PIL list → normalized device batch."""
+    recipe = recipe_for(model_name)
+    batch = host_batch(images, recipe)
+    return normalize_images(jnp.asarray(batch), recipe=recipe,
+                            compute_dtype=compute_dtype,
+                            use_pallas=use_pallas)
