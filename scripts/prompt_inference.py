@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Zero-shot VLM prompt inference over a dataset (CLI parity with
+`/root/reference/scripts/prompt_inference.py`).
+
+The hot path is TPU-native: instead of one ``model.generate`` per image
+(reference: prompt_inference.py:75-79), images stream through host decode →
+fused device preprocessing → batched prefill + ``lax.while_loop`` decode,
+``batch_size`` sequences at a time. Parsed labels, evaluator artifacts and
+the output layout (``eval/prompt_inference/<model>_<quant>/<dataset>``)
+match the reference. KeyboardInterrupt evaluates partial results
+(reference: prompt_inference.py:80-86).
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+os.environ.setdefault("VLM_TPU_ROOT", str(REPO_ROOT))
+
+import yaml
+
+
+def load_config(config_path: str) -> dict:
+    with open(config_path, "r", encoding="utf-8") as f:
+        return yaml.safe_load(f)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Zero-shot inference (YAML config)")
+    parser.add_argument("--config", type=str,
+                        default="configs/prompt_inference.yaml")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="optional cap on the number of images")
+    args = parser.parse_args()
+
+    from vlm_tpu.data.dataset_factory import DatasetFactory
+    from vlm_tpu.evaluation import Evaluator
+    from vlm_tpu.models.factory import VLMModelFactory
+    from vlm_tpu.utils.profiling import ThroughputMeter
+
+    root = os.environ["VLM_TPU_ROOT"]
+    cfg_path = os.path.join(root, args.config) \
+        if not os.path.isabs(args.config) else args.config
+    cfg = load_config(cfg_path)
+
+    model_name = cfg["model_name"]
+    quantization = cfg["quantization"]
+    dataset_name = cfg["dataset_name"]
+    max_tokens = int(cfg.get("max_tokens", 100))
+    batch_size = int(cfg.get("batch_size", 32))
+
+    output_dir = os.path.join(
+        root, f"eval/prompt_inference/{model_name}_{quantization}/"
+        f"{dataset_name}")
+    os.makedirs(output_dir, exist_ok=True)
+    print("Output directory:", output_dir)
+
+    model = VLMModelFactory.create_model(
+        model_name, model_id=cfg.get("model_id"), quantization=quantization,
+        size=cfg.get("model_size"))
+
+    ds_cfg = cfg.get("dataset", {}) or {}
+    dataset = DatasetFactory.create_dataset(
+        dataset_name, base_path=ds_cfg.get("base_path", None), split="test",
+        transform=None)
+
+    prompts = cfg.get("prompts", {}) or {}
+    if dataset_name in prompts:
+        prompt = prompts[dataset_name]
+    else:
+        prompt = prompts.get("face_dataset", "")
+    if not prompt:
+        raise ValueError("No prompt found in config (section 'prompts').")
+
+    with open(os.path.join(output_dir, "used_config.yaml"), "w",
+              encoding="utf-8") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False, allow_unicode=True)
+
+    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    labels = dataset.labels_list()[:n]
+    paths = dataset.image_paths()[:n]
+
+    preds, gts = [], []
+    meter = ThroughputMeter()
+    print(f"Running inference on dataset: {dataset_name} ({n} images, "
+          f"batch={batch_size})")
+    try:
+        from PIL import Image
+        for start in range(0, n, batch_size):
+            chunk_paths = paths[start:start + batch_size]
+            images = [Image.open(p).convert("RGB") for p in chunk_paths]
+            k = len(images)
+            if k < batch_size:
+                images = images + [images[-1]] * (batch_size - k)
+            outputs = model.generate_batch(images, prompt,
+                                           max_tokens=max_tokens)[:k]
+            for out, label in zip(outputs, labels[start:start + k]):
+                preds.append(dataset.get_labels_from_text_output(out))
+                gts.append(label)
+            meter.update(k)
+    except KeyboardInterrupt:
+        print("\nInterrupted. Evaluating partial results...")
+
+    meter.report("prompt_inference")
+    if preds and gts:
+        Evaluator.evaluate(preds, gts, output_dir,
+                           dataset_name=dataset_name)
+    else:
+        print("Nothing to evaluate.")
+
+
+if __name__ == "__main__":
+    main()
