@@ -87,22 +87,31 @@ def main():
 
     preds, gts = [], []
     meter = ThroughputMeter()
+    continuous = bool(cfg.get("continuous_batching", True))
     print(f"Running inference on dataset: {dataset_name} ({n} images, "
-          f"batch={batch_size})")
+          f"batch={batch_size}, continuous={continuous})")
     try:
-        from PIL import Image
-        for start in range(0, n, batch_size):
-            chunk_paths = paths[start:start + batch_size]
-            images = [Image.open(p).convert("RGB") for p in chunk_paths]
-            k = len(images)
-            if k < batch_size:
-                images = images + [images[-1]] * (batch_size - k)
-            outputs = model.generate_batch(images, prompt,
-                                           max_tokens=max_tokens)[:k]
-            for out, label in zip(outputs, labels[start:start + k]):
+        if continuous:
+            outputs = model.generate_dataset(
+                paths, prompt, max_tokens=max_tokens,
+                batch_size=batch_size, progress=meter.update)
+            for out, label in zip(outputs, labels):
                 preds.append(dataset.get_labels_from_text_output(out))
                 gts.append(label)
-            meter.update(k)
+        else:
+            from PIL import Image
+            for start in range(0, n, batch_size):
+                chunk_paths = paths[start:start + batch_size]
+                images = [Image.open(p).convert("RGB") for p in chunk_paths]
+                k = len(images)
+                if k < batch_size:
+                    images = images + [images[-1]] * (batch_size - k)
+                outputs = model.generate_batch(images, prompt,
+                                               max_tokens=max_tokens)[:k]
+                for out, label in zip(outputs, labels[start:start + k]):
+                    preds.append(dataset.get_labels_from_text_output(out))
+                    gts.append(label)
+                meter.update(k)
     except KeyboardInterrupt:
         print("\nInterrupted. Evaluating partial results...")
 

@@ -1,0 +1,134 @@
+"""Generation engine tests: wave engine vs continuous batcher parity,
+EOS handling, prompt building."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_tpu.data.tokenizer import ByteTokenizer
+from vlm_tpu.generate.batcher import ContinuousBatcher
+from vlm_tpu.generate.decode import GenerationEngine, build_prompt_ids
+from vlm_tpu.models.configs import paligemma_config
+from vlm_tpu.models.vlm import init_vlm, num_image_tokens
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = paligemma_config("test")
+    module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+    return cfg, module, params
+
+
+def _pixels(cfg, n, seed=0):
+    s = cfg.vision.image_size
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(n, s, s, 3)), jnp.float32)
+
+
+class TestBuildPromptIds:
+    def test_shapes_and_length(self):
+        tok = ByteTokenizer()
+        pre, post, plen = build_prompt_ids(tok, "ab", "cde", 16, 3,
+                                           add_bos_to_post=True)
+        assert pre.shape == (3, 2)
+        assert post.shape == (3, 4)          # bos + 3 chars
+        assert int(plen[0]) == 2 + 16 + 4
+
+    def test_empty_pre(self):
+        tok = ByteTokenizer()
+        pre, post, plen = build_prompt_ids(tok, "", "xy", 8, 2)
+        assert pre.shape == (2, 0)
+        assert int(plen[0]) == 8 + 2
+
+
+class TestGenerationEngine:
+    def test_tokens_shape_and_determinism(self, model):
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        engine = GenerationEngine(module, cfg, batch_size=3,
+                                  max_prompt_len=4 + t,
+                                  max_new_tokens=6,
+                                  cache_dtype=jnp.float32)
+        px = _pixels(cfg, 3)
+        pre = jnp.zeros((3, 0), jnp.int32)
+        post = jnp.ones((3, 4), jnp.int32)
+        plen = jnp.full((3,), 4 + t, jnp.int32)
+        r1 = engine.generate(params, px, pre, post, plen)
+        r2 = engine.generate(params, px, pre, post, plen)
+        assert r1.tokens.shape == (3, 6)
+        np.testing.assert_array_equal(np.asarray(r1.tokens),
+                                      np.asarray(r2.tokens))
+        assert all(1 <= int(n) <= 6 for n in np.asarray(r1.lengths))
+
+    def test_eos_stops_and_pads(self, model):
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        engine = GenerationEngine(module, cfg, batch_size=2,
+                                  max_prompt_len=2 + t, max_new_tokens=8,
+                                  cache_dtype=jnp.float32)
+        px = _pixels(cfg, 2, seed=1)
+        pre = jnp.zeros((2, 0), jnp.int32)
+        post = jnp.ones((2, 2), jnp.int32)
+        plen = jnp.full((2,), 2 + t, jnp.int32)
+        res = engine.generate(params, px, pre, post, plen)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        for b in range(2):
+            if lens[b] < 8:
+                assert toks[b, lens[b] - 1] == engine.eos_id
+                assert (toks[b, lens[b]:] == engine.pad_id).all()
+
+
+class TestContinuousBatcher:
+    def test_matches_wave_engine(self, model):
+        """Greedy decoding is deterministic → the continuous batcher must
+        produce exactly the wave engine's tokens for every image."""
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        n = 7
+        max_new = 6
+        px_all = _pixels(cfg, n, seed=2)
+        pre_row = np.zeros((0,), np.int32)
+        post_row = np.ones((3,), np.int32)
+        plen = 3 + t
+
+        engine = GenerationEngine(module, cfg, batch_size=n,
+                                  max_prompt_len=plen,
+                                  max_new_tokens=max_new,
+                                  cache_dtype=jnp.float32)
+        wave = engine.generate(
+            params, px_all, jnp.zeros((n, 0), jnp.int32),
+            jnp.ones((n, 3), jnp.int32), jnp.full((n,), plen, jnp.int32))
+        wave_tokens = [
+            [int(x) for x in np.asarray(wave.tokens)[i][:int(wave.lengths[i])]
+             if int(x) != engine.eos_id]
+            for i in range(n)]
+
+        batcher = ContinuousBatcher(module, cfg, batch_size=3,
+                                    max_prompt_len=plen,
+                                    max_new_tokens=max_new,
+                                    cache_dtype=jnp.float32,
+                                    admit_block=2)
+        seen = []
+        out = batcher.run(params,
+                          pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                          pre_ids_row=pre_row, post_ids_row=post_row,
+                          prompt_len_scalar=plen, n_images=n,
+                          progress=lambda k: seen.append(k))
+        assert out == wave_tokens
+        assert sum(seen) == n
+
+    def test_single_slot(self, model):
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        px_all = _pixels(cfg, 2, seed=3)
+        batcher = ContinuousBatcher(module, cfg, batch_size=1,
+                                    max_prompt_len=1 + t, max_new_tokens=3,
+                                    cache_dtype=jnp.float32)
+        out = batcher.run(params,
+                          pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                          pre_ids_row=np.zeros((0,), np.int32),
+                          post_ids_row=np.ones((1,), np.int32),
+                          prompt_len_scalar=1 + t, n_images=2)
+        assert len(out) == 2 and all(len(o) <= 3 for o in out)

@@ -1,0 +1,104 @@
+"""Quantization tests: int8/int4 round-trip accuracy, fused matmul parity,
+and quantized model modes running end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_tpu.ops import quant
+
+
+def _w(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        scale=0.05, size=shape), jnp.float32)
+
+
+class TestQuantizeRoundtrip:
+    def test_int8_error_small(self):
+        w = _w((256, 128))
+        qw = quant.quantize_int8(w)
+        assert qw.q.dtype == jnp.int8 and qw.scale.shape == (1, 128)
+        deq = quant.dequantize(qw)
+        rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+        assert rel < 0.01        # 1/127 half-step
+
+    def test_int4_error_small(self):
+        w = _w((256, 128), seed=1)
+        qw = quant.quantize_int4(w, group_size=128)
+        assert qw.q.shape == (128, 128)      # packed along input dim
+        assert qw.scale.shape == (2, 128)
+        deq = quant.dequantize(qw)
+        rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+        assert rel < 0.15        # 1/7 half-step with per-group scaling
+
+    def test_int4_pack_unpack_exact(self):
+        w = _w((16, 8), seed=2)
+        qw = quant.quantize_int4(w, group_size=16)
+        unpacked = quant._unpack_int4(qw.q)
+        assert unpacked.shape == (16, 8)
+        assert int(jnp.abs(unpacked).max()) <= 7
+
+    def test_per_channel_scales_differ(self):
+        w = jnp.concatenate([_w((64, 1)), 10 * _w((64, 1), 3)], axis=1)
+        qw = quant.quantize_int8(w)
+        assert float(qw.scale[0, 1]) > 5 * float(qw.scale[0, 0])
+
+
+class TestQuantMatmul:
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_int8_matmul_matches_dequant(self, use_pallas):
+        x = _w((32, 256), seed=4)
+        qw = quant.quantize_int8(_w((256, 128), seed=5))
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=use_pallas)
+        assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    def test_int4_matmul_matches_dequant(self):
+        x = _w((8, 256), seed=6)
+        qw = quant.quantize_int4(_w((256, 64), seed=7))
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=False)
+        assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    def test_pallas_padding_path(self):
+        # shapes not multiples of the block sizes
+        x = _w((13, 64), seed=8)
+        qw = quant.quantize_int8(_w((64, 100), seed=9))
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=True)
+        assert out.shape == (13, 100)
+        assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+class TestQuantizedModels:
+    @pytest.mark.parametrize("mode", ["8bit", "4bit"])
+    def test_generation_runs_quantized(self, mode):
+        from PIL import Image
+
+        from vlm_tpu.models.factory import VLMModelFactory
+        m = VLMModelFactory.create_model("paligemma", quantization=mode,
+                                         size="test")
+        # quantized params exist in the decoder, fp kernels in the vision tower
+        dec = m.params["params"]["decoder"]["block_0"]["attn"]["q_proj"]
+        assert "q_kernel" in dec and "scale" in dec
+        vis = m.params["params"]["vision"]["block_0"]["attn"]["q_proj"]
+        assert "kernel" in vis
+        img = Image.fromarray(np.random.default_rng(0).integers(
+            0, 255, (40, 40, 3), dtype=np.uint8))
+        outs = m.generate_batch([img, img], "hi", max_tokens=4)
+        assert len(outs) == 2
+
+    def test_quantized_weight_memory_is_smaller(self):
+        from vlm_tpu.models.configs import paligemma_config
+        from vlm_tpu.models.vlm import init_vlm
+        cfg = paligemma_config("test")
+        _, p8 = init_vlm(cfg, jax.random.key(0), quant_bits=8)
+        _, pfp = init_vlm(cfg, jax.random.key(0), quant_bits=0)
+
+        def nbytes(tree):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(tree))
+        d8 = nbytes(p8["params"]["decoder"]["block_0"])
+        dfp = nbytes(pfp["params"]["decoder"]["block_0"])
+        assert d8 < 0.45 * dfp

@@ -1,0 +1,184 @@
+"""Continuous batching: slot-based admission over a stream of images.
+
+The wave-based :class:`~vlm_tpu.generate.decode.GenerationEngine` loses
+throughput when generation lengths vary — the whole batch waits for its
+slowest member. This engine instead keeps ``B`` decode slots busy:
+
+- a slot that hits EOS (or the token cap) is immediately refilled by
+  prefilling the next pending image *into that slot* of the shared KV cache
+  (batched group admission: up to ``admit_block`` free slots prefill
+  together, amortizing the vision encoder over admissions);
+- every step runs one decode for all ``B`` slots.
+
+All device work is jitted with static shapes: per-slot cache writes are
+``dynamic_update_slice`` on the batch axis, admission group size is a
+compiled constant, and the host loop only moves integers and tokens. This is
+the "slot-based cache with admission on slot-free" design from SURVEY.md §7
+("Continuous batching with KV-cache paging") — simpler than paged attention
+but sufficient because every prompt in a run has the same length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import VLMConfig
+from ..models.decoder import init_kv_cache
+from ..models.vlm import VLMModule
+
+
+@dataclasses.dataclass
+class _Slot:
+    image_idx: int = -1          # which input this slot is generating for
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    active: bool = False
+
+
+class ContinuousBatcher:
+    def __init__(self, module: VLMModule, cfg: VLMConfig, *,
+                 batch_size: int, max_prompt_len: int,
+                 max_new_tokens: int = 100,
+                 admit_block: Optional[int] = None,
+                 cache_dtype=jnp.bfloat16,
+                 eos_id: Optional[int] = None,
+                 pad_id: Optional[int] = None):
+        self.module = module
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.max_prompt_len = max_prompt_len
+        self.cache_len = max_prompt_len + max_new_tokens
+        self.cache_dtype = cache_dtype
+        self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
+        self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
+        self.admit_block = admit_block or max(1, batch_size // 4)
+
+        self._prefill_group = jax.jit(self._prefill_group_impl)
+        self._decode_all = jax.jit(self._decode_all_impl)
+
+    # ------------------------- jitted device fns -------------------------
+    def _prefill_group_impl(self, params, pixels, pre_ids, post_ids,
+                            prompt_len, cache, slots):
+        """Prefill ``g`` sequences and scatter their KV into ``cache`` at
+        batch indices ``slots`` [g]."""
+        g = pixels.shape[0]
+        group_cache = init_kv_cache(self.cfg.decoder, g, self.cache_len,
+                                    self.cache_dtype)
+        last, group_cache = self.module.apply(
+            params, pixels, pre_ids, post_ids, group_cache, prompt_len,
+            method="prefill")
+
+        def scatter(full, part):
+            # full: [L, B, H, S, D]; part: [L, g, H, S, D]
+            def one(full_l, part_l):
+                def write(i, acc):
+                    sl = jax.lax.dynamic_slice_in_dim(part_l, i, 1, axis=0)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        acc, sl, slots[i], axis=0)
+                return jax.lax.fori_loop(0, g, write, full_l)
+            return jax.vmap(one)(full, part)
+
+        cache = {"k": scatter(cache["k"], group_cache["k"]),
+                 "v": scatter(cache["v"], group_cache["v"])}
+        first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        return first_tok, cache
+
+    def _decode_all_impl(self, params, cur_tokens, seq_len, cache):
+        logits, cache = self.module.apply(
+            params, cur_tokens[:, None], seq_len, cache,
+            method="decode_step")
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    # ------------------------- host loop -------------------------
+    def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
+            pre_ids_row: np.ndarray, post_ids_row: np.ndarray,
+            prompt_len_scalar: int, n_images: int,
+            progress: Optional[Callable[[int], None]] = None) -> List[List[int]]:
+        """Generate for ``n_images`` inputs.
+
+        Args:
+            pixel_fn: called with a list of image indices, returns their
+                normalized pixel batch (host decode happens lazily here, so
+                admission and IO interleave).
+            pre_ids_row/post_ids_row: the (batch-constant) prompt id rows.
+            prompt_len_scalar: merged prompt length.
+        Returns: generated token lists, in input order.
+        """
+        B = self.batch_size
+        cache = init_kv_cache(self.cfg.decoder, B, self.cache_len,
+                              self.cache_dtype)
+        slots = [_Slot() for _ in range(B)]
+        results: List[Optional[List[int]]] = [None] * n_images
+        next_image = 0
+        cur_tokens = np.full((B,), self.pad_id, np.int32)
+        seq_len = np.full((B,), 0, np.int32)
+        gen_count = np.zeros((B,), np.int32)
+
+        pre_g = {}
+        post_g = {}
+
+        def admit(free: List[int]):
+            nonlocal next_image, cache, cur_tokens, seq_len, gen_count
+            group = free[:self.admit_block]
+            idxs = list(range(next_image,
+                              min(next_image + len(group), n_images)))
+            group = group[:len(idxs)]
+            if not group:
+                return
+            next_image += len(idxs)
+            g = len(group)
+            if g not in pre_g:
+                pre_g[g] = jnp.asarray(np.repeat(pre_ids_row[None], g, 0))
+                post_g[g] = jnp.asarray(np.repeat(post_ids_row[None], g, 0))
+            pixels = pixel_fn(idxs)
+            plen = jnp.full((g,), prompt_len_scalar, jnp.int32)
+            first, cache = self._prefill_group(
+                params, pixels, pre_g[g], post_g[g], plen, cache,
+                jnp.asarray(group, jnp.int32))
+            first = np.asarray(first)
+            for j, s in enumerate(group):
+                slots[s] = _Slot(image_idx=idxs[j], tokens=[int(first[j])],
+                                 active=int(first[j]) != self.eos_id)
+                cur_tokens[s] = first[j]
+                seq_len[s] = prompt_len_scalar
+                gen_count[s] = 1
+                if not slots[s].active:
+                    _finish(s)
+
+        def _finish(s: int):
+            slot = slots[s]
+            toks = [t for t in slot.tokens if t != self.eos_id]
+            results[slot.image_idx] = toks
+            slots[s] = _Slot()
+            if progress is not None:
+                progress(1)
+
+        while next_image < n_images or any(s.active for s in slots):
+            free = [i for i, s in enumerate(slots) if not s.active]
+            if free and next_image < n_images:
+                admit(free)
+                continue
+            # one decode step for all slots
+            toks, cache = self._decode_all(
+                params, jnp.asarray(cur_tokens), jnp.asarray(seq_len), cache)
+            toks = np.asarray(toks)
+            for i, s in enumerate(slots):
+                if not s.active:
+                    continue
+                t = int(toks[i])
+                seq_len[i] += 1
+                gen_count[i] += 1
+                s.tokens.append(t)
+                if t == self.eos_id or gen_count[i] >= self.max_new_tokens:
+                    s.active = False
+                    _finish(i)
+            # inactive slots advance nothing; their next decode input is pad
+            cur_tokens = np.where([s.active for s in slots], toks,
+                                  self.pad_id).astype(np.int32)
+        return [r if r is not None else [] for r in results]

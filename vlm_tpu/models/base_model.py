@@ -73,7 +73,8 @@ class VLMModel:
             dtype=self.policy.compute_dtype,
             param_dtype=jnp.float32 if self.policy.name == "fp32"
             else jnp.bfloat16,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl,
+            quant_bits=self.policy.quantized_bits)
         self._maybe_load_weights()
         self._engines: Dict[Any, GenerationEngine] = {}
         print(f"Model {self.family} ({self.quantization}) ready.")
@@ -139,6 +140,41 @@ class VLMModel:
         """Single-image API parity with the reference
         (`models/base_model.py:54-74`). Prefer :meth:`generate_batch`."""
         return self.generate_batch([image], prompt, max_tokens)[0]
+
+    def generate_dataset(self, image_paths: Sequence, prompt: str,
+                         max_tokens: int = 100,
+                         batch_size: Optional[int] = None,
+                         progress=None) -> List[str]:
+        """Dataset-scale generation via continuous batching: slots refill the
+        moment a sequence finishes, host image decode interleaves with device
+        decode steps. Returns decoded texts in input order."""
+        from ..generate.batcher import ContinuousBatcher
+
+        bs = batch_size or self.batch_size
+        pre_t, post_t, bos_pre, bos_post = self.format_prompt(prompt)
+        pre_ids, post_ids, prompt_len = build_prompt_ids(
+            self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), 1,
+            add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+        paths = list(image_paths)
+
+        def pixel_fn(idxs):
+            imgs = [Image.open(paths[i]).convert("RGB") for i in idxs]
+            batch = host_batch(imgs, self.recipe)
+            return normalize_images(jnp.asarray(batch), recipe=self.recipe,
+                                    compute_dtype=self.policy.compute_dtype)
+
+        batcher = ContinuousBatcher(
+            self.module, self.cfg, batch_size=bs,
+            max_prompt_len=int(prompt_len[0]), max_new_tokens=max_tokens,
+            cache_dtype=self.policy.compute_dtype,
+            eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id)
+        token_lists = batcher.run(
+            self.params, pixel_fn,
+            pre_ids_row=np.asarray(pre_ids[0]),
+            post_ids_row=np.asarray(post_ids[0]),
+            prompt_len_scalar=int(prompt_len[0]),
+            n_images=len(paths), progress=progress)
+        return [self.tokenizer.decode(t).strip() for t in token_lists]
 
     # ------------------------- probing -------------------------
     def get_vision_backbone(self, cleanup: bool = True) -> VisionBackbone:

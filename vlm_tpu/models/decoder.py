@@ -84,6 +84,7 @@ class DecoderAttention(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     attn_impl: str = "auto"
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
@@ -92,7 +93,7 @@ class DecoderAttention(nn.Module):
         b, s, _ = x.shape
         hd = cfg.head_dim
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  use_bias=cfg.attn_bias)
+                  use_bias=cfg.attn_bias, quant_bits=self.quant_bits)
         q = Dense(cfg.heads * hd, shard=(None, "model"), name="q_proj", **dd)(x)
         k = Dense(cfg.kv_heads * hd, shard=(None, "model"), name="k_proj", **dd)(x)
         v = Dense(cfg.kv_heads * hd, shard=(None, "model"), name="v_proj", **dd)(x)
@@ -145,13 +146,14 @@ class DecoderMLP(nn.Module):
     cfg: DecoderConfig
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         act = activation(cfg.act)
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  use_bias=cfg.attn_bias)
+                  use_bias=cfg.attn_bias, quant_bits=self.quant_bits)
         if cfg.gated_mlp:
             g = Dense(cfg.mlp_dim, shard=(None, "model"), name="gate_proj", **dd)(x)
             u = Dense(cfg.mlp_dim, shard=(None, "model"), name="up_proj", **dd)(x)
@@ -167,6 +169,7 @@ class DecoderBlock(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     attn_impl: str = "auto"
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
@@ -182,11 +185,13 @@ class DecoderBlock(nn.Module):
                                              param_dtype=self.param_dtype,
                                              name=name)
         h, new_cache = DecoderAttention(
-            cfg, self.dtype, self.param_dtype, self.attn_impl, name="attn")(
+            cfg, self.dtype, self.param_dtype, self.attn_impl,
+            self.quant_bits, name="attn")(
                 mk_norm("input_norm")(x), positions, rope, cache_kv,
                 write_start, kv_len, causal)
         x = x + h
-        x = x + DecoderMLP(cfg, self.dtype, self.param_dtype, name="mlp")(
+        x = x + DecoderMLP(cfg, self.dtype, self.param_dtype,
+                           self.quant_bits, name="mlp")(
             mk_norm("post_attn_norm")(x))
         return x, new_cache
 
@@ -203,6 +208,9 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # int8/int4 weight quantization for the block projections (embeddings and
+    # lm_head stay fp, matching bitsandbytes' default skip list).
+    quant_bits: int = 0
 
     def setup(self):
         cfg = self.cfg
@@ -219,7 +227,7 @@ class Decoder(nn.Module):
                 param_dtype=self.param_dtype, name="pos_embed")
         self.blocks = [
             DecoderBlock(cfg, self.dtype, self.param_dtype, self.attn_impl,
-                         name=f"block_{i}")
+                         self.quant_bits, name=f"block_{i}")
             for i in range(cfg.layers)]
         if cfg.final_norm:
             if cfg.norm == "rmsnorm":
@@ -252,7 +260,11 @@ class Decoder(nn.Module):
                  cache: Optional[Dict[str, jax.Array]] = None,
                  write_start: Optional[jax.Array] = None,
                  kv_len: Optional[jax.Array] = None,
-                 causal: bool = True):
+                 causal: bool = True,
+                 logits_index: Optional[jax.Array] = None):
+        """``logits_index`` [B]: compute logits only at these positions
+        ([B, 1, V]). Essential for prefill: full-sequence logits over a
+        250k-vocab decoder would materialize ~10 GB at batch 24."""
         cfg = self.cfg
         if input_embeds is None:
             input_embeds = self.embed_tokens(input_ids)
@@ -284,6 +296,10 @@ class Decoder(nn.Module):
 
         if cfg.final_norm:
             x = self.final_norm(x)
+
+        if logits_index is not None:
+            idx = jnp.clip(logits_index, 0, s - 1)
+            x = jnp.take_along_axis(x, idx[:, None, None], axis=1)
 
         if cfg.tie_embeddings:
             logits = self.embed.attend(x.astype(self.dtype))

@@ -63,11 +63,19 @@ class LayerNorm(nn.Module):
 
 
 class Dense(nn.Module):
-    """Dense with explicit logical partitioning metadata.
+    """Dense with explicit logical partitioning metadata and optional
+    integer weight quantization.
 
     ``shard`` names the (in, out) logical mesh axes for the kernel; the
     sharding rules in `vlm_tpu.parallel.sharding` turn these into
     ``PartitionSpec``s over the device mesh.
+
+    ``quant_bits`` 8/4 stores the kernel as int8 / packed-int4 with scales
+    (the TPU analogue of bitsandbytes' load_in_8bit / nf4 — see
+    `vlm_tpu.ops.quant`); the matmul runs the fused Pallas dequant kernel.
+    Random init draws int8 values directly (real checkpoints are quantized
+    by the weight loader via ``ops.quant.quantize_int8/int4``). Quantized
+    layers are inference-only (gradients stop at the dequant).
     """
     features: int
     use_bias: bool = True
@@ -75,15 +83,54 @@ class Dense(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     shard: Tuple[Optional[str], Optional[str]] = (None, None)
     kernel_init: Callable = nn.initializers.lecun_normal()
+    quant_bits: int = 0
+    quant_group: int = 128
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.with_partitioning(self.kernel_init, self.shard),
-            (x.shape[-1], self.features), self.param_dtype)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32)
+        from ..ops.quant import QuantizedWeight, quant_matmul
+
+        in_dim = x.shape[-1]
+        if self.quant_bits in (4, 8):
+            if self.quant_bits == 8:
+                q_shape = (in_dim, self.features)
+                gs = 0
+                s_shape = (1, self.features)
+            else:
+                gs = min(self.quant_group, in_dim)
+                assert in_dim % 2 == 0 and in_dim % gs == 0, (in_dim, gs)
+                q_shape = (in_dim // 2, self.features)
+                s_shape = (in_dim // gs, self.features)
+
+            def q_init(key, shape, dtype):
+                return jax.random.randint(key, shape, -112, 112,
+                                          dtype=jnp.int32).astype(jnp.int8)
+
+            def s_init(key, shape, dtype):
+                # scale so dequantized weights ≈ lecun-normal magnitude
+                std = (1.0 / in_dim) ** 0.5
+                return jnp.full(shape, std / 64.0, dtype)
+
+            q = self.param("q_kernel",
+                           nn.with_partitioning(q_init, self.shard),
+                           q_shape, jnp.int8)
+            scale = self.param("scale",
+                               nn.with_partitioning(s_init,
+                                                    (None, self.shard[1])),
+                               s_shape, jnp.float32)
+            qw = QuantizedWeight(q=jax.lax.stop_gradient(q),
+                                 scale=jax.lax.stop_gradient(scale),
+                                 group_size=gs)
+            x2 = x.reshape(-1, in_dim).astype(self.dtype)
+            y = quant_matmul(x2, qw, out_dtype=jnp.float32)
+            y = y.reshape(*x.shape[:-1], self.features)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.with_partitioning(self.kernel_init, self.shard),
+                (in_dim, self.features), self.param_dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param(
                 "bias",

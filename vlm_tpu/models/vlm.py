@@ -35,6 +35,7 @@ class VLMModule(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant_bits: int = 0      # decoder weight quantization (8bit/4bit modes)
 
     def setup(self):
         cfg = self.cfg
@@ -44,7 +45,8 @@ class VLMModule(nn.Module):
         self.projector = build_projector(cfg, self.dtype, self.param_dtype)
         self.decoder = Decoder(cfg.decoder, dtype=self.dtype,
                                param_dtype=self.param_dtype,
-                               attn_impl=self.attn_impl, name="decoder")
+                               attn_impl=self.attn_impl,
+                               quant_bits=self.quant_bits, name="decoder")
 
     # ---------------- vision ----------------
     def encode_images(self, pixels: jax.Array) -> jax.Array:
@@ -111,13 +113,14 @@ class VLMModule(nn.Module):
         b, s, _ = embeds.shape
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
         write_start = jnp.zeros((b,), jnp.int32)
+        # logits only at each sequence's final real token — full-sequence
+        # logits would be [B, S, vocab] (≈10 GB at batch 24 on Gemma's
+        # 257k vocab).
         logits, cache = self.decoder(
             input_embeds=embeds, positions=positions, cache=cache,
-            write_start=write_start, kv_len=prompt_len, causal=True)
-        # Gather the logits at each sequence's final real token.
-        idx = jnp.clip(prompt_len - 1, 0, s - 1)
-        last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
-        return last, cache
+            write_start=write_start, kv_len=prompt_len, causal=True,
+            logits_index=prompt_len - 1)
+        return logits[:, 0], cache
 
     def decode_step(self, token_ids: jax.Array, seq_len: jax.Array,
                     cache: Dict[str, jax.Array]):
@@ -141,9 +144,10 @@ def num_image_tokens(cfg: VLMConfig) -> int:
 
 
 def init_vlm(cfg: VLMConfig, rng: jax.Array, dtype=jnp.bfloat16,
-             param_dtype=jnp.float32, attn_impl: str = "auto"):
+             param_dtype=jnp.float32, attn_impl: str = "auto",
+             quant_bits: int = 0):
     module = VLMModule(cfg, dtype=dtype, param_dtype=param_dtype,
-                       attn_impl=attn_impl)
+                       attn_impl=attn_impl, quant_bits=quant_bits)
     px = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
                    dtype)
     pre = jnp.zeros((1, 2), jnp.int32)

