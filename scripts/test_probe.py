@@ -12,6 +12,10 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 os.environ.setdefault("VLM_TPU_ROOT", str(REPO_ROOT))
 
+from vlm_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 
 def main():
     ap = argparse.ArgumentParser(

@@ -1,0 +1,74 @@
+"""Native C++ image loader tests: build, decode correctness vs PIL, fallback."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vlm_tpu.data.native_loader import load_batch, native_available
+from vlm_tpu.data.pipeline import prefetch_batches
+from vlm_tpu.ops.preprocess import host_resize, recipe_for
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        img = Image.fromarray(
+            rng.integers(0, 255, (240, 180, 3), dtype=np.uint8))
+        p = d / f"img{i}.jpg"
+        img.save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+class TestNativeLoader:
+    def test_builds(self):
+        assert native_available(), "C++ imgloader should build in this image"
+
+    @pytest.mark.parametrize("family", ["paligemma", "llava"])
+    def test_matches_pil_closely(self, jpeg_dir, family):
+        r = recipe_for(family)
+        nat = load_batch(jpeg_dir, r, threads=2)
+        pil = np.stack([host_resize(Image.open(p).convert("RGB"), r)
+                        for p in jpeg_dir])
+        assert nat.shape == pil.shape == (6, r.image_size, r.image_size, 3)
+        diff = np.abs(nat.astype(int) - pil.astype(int))
+        # Same resample family (antialiased bicubic); small numeric drift ok.
+        assert diff.mean() < 1.0
+        assert (diff > 20).mean() < 0.001
+
+    def test_png_falls_back_to_pil(self, tmp_path):
+        img = Image.fromarray(np.random.default_rng(1).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8))
+        p = tmp_path / "x.png"
+        img.save(p)
+        out = load_batch([p], recipe_for("paligemma"))
+        assert out.shape == (1, 224, 224, 3)
+
+    def test_corrupt_jpeg_recovers(self, tmp_path, jpeg_dir):
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\xff\xd8\xff\xe0 this is not a jpeg")
+        with pytest.raises(Exception):
+            load_batch([jpeg_dir[0], bad], recipe_for("paligemma"))
+
+    def test_force_pil_path(self, jpeg_dir):
+        r = recipe_for("blip2")
+        out = load_batch(jpeg_dir[:2], r, use_native=False)
+        assert out.shape == (2, 224, 224, 3)
+
+
+class TestPrefetch:
+    def test_order_and_completeness(self):
+        out = list(prefetch_batches(list(range(10)), lambda x: x * 2,
+                                    depth=3))
+        assert out == [x * 2 for x in range(10)]
+
+    def test_exception_propagates(self):
+        def boom(x):
+            if x == 3:
+                raise ValueError("boom")
+            return x
+        with pytest.raises(ValueError):
+            list(prefetch_batches(range(5), boom))

@@ -110,26 +110,37 @@ class VisionBackbone:
                                  batch_size: Optional[int] = None,
                                  progress: bool = True) -> np.ndarray:
         """Stream a whole dataset through the encoder → [N, D] numpy
-        (the probing feature-cache hot loop, SURVEY.md §3.2 HOT LOOP 1)."""
-        from PIL import Image
+        (the probing feature-cache hot loop, SURVEY.md §3.2 HOT LOOP 1).
+
+        Host decode runs through the native C++ loader (PIL fallback) and is
+        prefetched one batch ahead of the device, so decode overlaps TPU
+        compute."""
+        from ..data.pipeline import prefetch_batches
+
         bs = batch_size or self.batch_size
+        paths = list(image_paths)
         out = []
-        rng = range(0, len(image_paths), bs)
+
+        def make_batch(chunk):
+            from ..data.native_loader import load_batch
+            arr = load_batch(chunk, self.recipe)
+            n = len(chunk)
+            if n < bs:   # pad the tail to the compiled batch size
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], bs - n, axis=0)], axis=0)
+            return arr, n
+
+        chunks = [paths[i:i + bs] for i in range(0, len(paths), bs)]
+        it = prefetch_batches(chunks, make_batch, depth=2)
         if progress:
             try:
                 from tqdm import tqdm
-                rng = tqdm(rng, desc="Extracting features", unit="batch")
+                it = tqdm(it, total=len(chunks), desc="Extracting features",
+                          unit="batch")
             except ImportError:
                 pass
-        paths = list(image_paths)
-        for start in rng:
-            chunk = paths[start:start + bs]
-            imgs = [Image.open(p).convert("RGB") for p in chunk]
-            # Pad the tail chunk to the compiled batch size.
-            n = len(imgs)
-            if n < bs:
-                imgs = imgs + [imgs[-1]] * (bs - n)
-            feats = self.forward(imgs)
+        for arr, n in it:
+            feats = self.forward(arr)
             out.append(np.asarray(feats[:n], dtype=np.float32))
         return np.concatenate(out, axis=0)
 

@@ -158,8 +158,8 @@ class VLMModel:
         paths = list(image_paths)
 
         def pixel_fn(idxs):
-            imgs = [Image.open(paths[i]).convert("RGB") for i in idxs]
-            batch = host_batch(imgs, self.recipe)
+            from ..data.native_loader import load_batch
+            batch = load_batch([paths[i] for i in idxs], self.recipe)
             return normalize_images(jnp.asarray(batch), recipe=self.recipe,
                                     compute_dtype=self.policy.compute_dtype)
 
