@@ -83,15 +83,32 @@ class VLMModel:
         return "test"
 
     def _maybe_load_weights(self):
-        """Load converted HF safetensors when ``model_id`` is a local dir."""
+        """Load weights when ``model_id`` is a local directory: our native
+        checkpoint format (``params.msgpack``) or converted HF safetensors."""
         if not self.model_id:
             return
         from pathlib import Path
         p = Path(self.model_id)
-        if p.exists():
+        if not p.exists():
+            return
+        if (p / "params.msgpack").exists():
+            from ..utils.checkpoint import load_vlm_checkpoint
+            self.params = load_vlm_checkpoint(p, self.params)
+        else:
             from .hf_weights import load_vlm_weights
             self.params = load_vlm_weights(self.family, self.cfg, p,
                                            self.params)
+
+    def save_checkpoint(self, path) -> None:
+        """Persist the full VLM in the framework's native format; reload by
+        passing ``path`` as ``model_id``."""
+        from ..utils.checkpoint import save_vlm_checkpoint
+        save_vlm_checkpoint(path, self.params, {
+            "family": self.family,
+            "quantization": self.quantization,
+            "vision_layers": self.cfg.vision.layers,
+            "decoder_layers": self.cfg.decoder.layers,
+        })
 
     # ------------------------- prompts -------------------------
     def format_prompt(self, prompt: str):

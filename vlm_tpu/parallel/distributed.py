@@ -1,0 +1,51 @@
+"""Multi-host wiring: single-controller JAX over TPU pods.
+
+The reference is strictly single-process (SURVEY.md §2 #35 — no NCCL/MPI/
+launchers; its only multi-device mechanism is ``device_map="auto"``). The
+TPU-native equivalent of a distributed backend is:
+
+1. every host calls :func:`initialize_multihost` (→
+   ``jax.distributed.initialize``; on Cloud TPU coordinator/process ids
+   auto-discover from the TPU metadata);
+2. build the global mesh over ``jax.devices()`` (all hosts' chips) with
+   `vlm_tpu.core.mesh.make_mesh`;
+3. everything else is unchanged — params/batches placed with
+   `vlm_tpu.parallel.sharding`, collectives compiled by XLA over ICI
+   (intra-slice) and DCN (inter-slice).
+
+Per-host input feeding uses :func:`process_local_slice` so each host decodes
+only its shard of the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime (no-op if single-process or
+    already initialized). On Cloud TPU all arguments auto-discover."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError) as e:
+        # Single-process environments (tests, one-chip dev) land here.
+        if num_processes not in (None, 1):
+            raise
+        print(f"[distributed] single-process mode ({e})")
+
+
+def process_local_slice(global_batch: int) -> Tuple[int, int]:
+    """(start, size) of this host's slice of a globally-sharded batch."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    per = global_batch // n
+    return jax.process_index() * per, per

@@ -50,6 +50,15 @@ class MultiTaskTrainer(BaseTrainer):
         self.static_task_weights = {t: float(tw_cfg.get(t, 1.0))
                                     for t in self.tasks}
         self.current_task_weights = {t: 1.0 for t in self.tasks}
+        # Homoscedastic uncertainty weighting: the reference ships the
+        # UncertaintyWeighter and tags run names with "_uw"
+        # (scripts/train_probe.py:54-56) but never wires it into a trainer;
+        # here `train.uncertainty_weighting.enabled` makes it a working
+        # alternative to the EMA scheme (learnable log-vars optimized with
+        # the heads).
+        uw_cfg = (tcfg.get("uncertainty_weighting") or {})
+        self.use_uw = bool(uw_cfg.get("enabled", False))
+        self.uw_init_log_var = float(uw_cfg.get("init_log_var", 0.0))
         super().__init__(cfg, run_name, ckpt_root)
         if self.use_running_means:
             self.rm = RunningMeans(self.tasks, alpha=self.rm_alpha)
@@ -149,16 +158,25 @@ class MultiTaskTrainer(BaseTrainer):
         return {t: s["batch_stats"] for t, s in self.probe.head_state.items()}
 
     def _params(self):
-        return {"heads": self._head_params(),
-                "backbone": self.probe.backbone.params}
+        p = {"heads": self._head_params(),
+             "backbone": self.probe.backbone.params}
+        if self.use_uw:
+            p["log_vars"] = self._log_vars
+        return p
 
     def _build_tx_and_steps(self):
+        if self.use_uw and not hasattr(self, "_log_vars"):
+            from .losses import UncertaintyWeighter
+            self._log_vars = UncertaintyWeighter(
+                self.tasks, self.uw_init_log_var).init_params()
         labels = {
             "heads": jax.tree.map(lambda _: "head", self._head_params()),
             "backbone": jax.tree.map(
                 lambda m: "backbone" if m else "frozen",
                 self.probe.backbone.trainable_mask),
         }
+        if self.use_uw:
+            labels["log_vars"] = {t: "head" for t in self.tasks}
         self.tx = optax.multi_transform(
             {"head": optax.adamw(self.head_lr * self.lr_scale,
                                  weight_decay=self.weight_decay),
@@ -197,11 +215,18 @@ class MultiTaskTrainer(BaseTrainer):
                 new_stats[t] = mut["batch_stats"]
             return losses, new_stats
 
+        use_uw = self.use_uw
+
         def total_fn(params, stats, pixels, ys, rng, task_w):
             losses, new_stats = losses_fn(params, stats, pixels, ys, rng)
-            total = 0.0
-            for i, t in enumerate(tasks):
-                total = total + task_w[i] * losses[t]
+            if use_uw:
+                from .losses import UncertaintyWeighter
+                total = UncertaintyWeighter.combine(params["log_vars"],
+                                                    losses)
+            else:
+                total = 0.0
+                for i, t in enumerate(tasks):
+                    total = total + task_w[i] * losses[t]
             return total, (losses, new_stats)
 
         @jax.jit
@@ -290,6 +315,8 @@ class MultiTaskTrainer(BaseTrainer):
             t: {"params": params["heads"][t], "batch_stats": new_stats[t]}
             for t in self.tasks}
         self.probe.backbone.params = params["backbone"]
+        if self.use_uw:
+            self._log_vars = params["log_vars"]
         return {t: float(losses[t]) for t in self.tasks}
 
     def eval_batch(self, batch) -> Dict[str, float]:
@@ -326,6 +353,9 @@ class MultiTaskTrainer(BaseTrainer):
                 "history": self.rm.history,
                 "tasks": self.tasks,
             }
+        if self.use_uw:
+            blob["uw_log_vars"] = {t: float(v)
+                                   for t, v in self._log_vars.items()}
         return blob
 
     def load_extra_state_dicts(self, blob: dict):
@@ -334,6 +364,10 @@ class MultiTaskTrainer(BaseTrainer):
             self.rm.alpha = float(rm_blob.get("alpha", self.rm.alpha))
             self.rm.values = dict(rm_blob.get("values", self.rm.values))
             self.rm.history = dict(rm_blob.get("history", self.rm.history))
+        uw_blob = blob.get("uw_log_vars")
+        if self.use_uw and uw_blob:
+            self._log_vars = {t: jnp.asarray(float(v), jnp.float32)
+                              for t, v in uw_blob.items()}
 
     def opt_state_handle(self):
         return self._opt_state
