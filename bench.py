@@ -48,6 +48,7 @@ def main():
     from PIL import Image
 
     size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
+    quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "96"))
     batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "24"))
     max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "32"))
@@ -60,7 +61,7 @@ def main():
 
     from vlm_tpu.models.factory import VLMModelFactory
     t0 = time.perf_counter()
-    model = VLMModelFactory.create_model("paligemma", quantization="bf16",
+    model = VLMModelFactory.create_model("paligemma", quantization=quant,
                                          size=size)
     log(f"[bench] model built in {time.perf_counter() - t0:.1f}s")
 
@@ -93,7 +94,8 @@ def main():
     log(f"[bench] batched (B={batch}): {batched_ips:.2f} img/s")
 
     print(json.dumps({
-        "metric": f"paligemma_{size}_zero_shot_images_per_sec",
+        "metric": f"paligemma_{size}_{quant}_zero_shot_images_per_sec"
+        if quant != "bf16" else f"paligemma_{size}_zero_shot_images_per_sec",
         "value": round(batched_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(batched_ips / max(seq_ips, 1e-9), 2),

@@ -74,17 +74,28 @@ class TestAttention:
         b = attention(q2, k, v, causal=True, impl="flash")
         assert float(jnp.abs(a - b).max()) < 1e-5
 
-    def test_kv_len_masks_padding(self):
+    @pytest.mark.parametrize("impl", ["xla", "flash"])
+    def test_kv_len_masks_padding(self, impl):
         q, k, v = self._qkv(s=8)
         kv_len = jnp.array([4, 8])
-        out = attention(q, k, v, kv_len=kv_len, impl="xla")
+        out = attention(q, k, v, kv_len=kv_len, impl=impl)
         # Sequence 0 must be independent of k/v beyond position 4.
         k2 = k.at[0, :, 4:].set(99.0)
         v2 = v.at[0, :, 4:].set(-99.0)
-        out2 = attention(q, k2, v2, kv_len=kv_len, impl="xla")
+        out2 = attention(q, k2, v2, kv_len=kv_len, impl=impl)
         assert float(jnp.abs(out - out2).max()) < 1e-6
 
-    def test_flash_rejects_kv_len(self):
+    def test_flash_kv_len_matches_xla(self):
+        q, k, v = self._qkv(s=16)
+        kv_len = jnp.array([5, 16])
+        a = attention(q, k, v, causal=True, kv_len=kv_len, impl="xla")
+        b = attention(q, k, v, causal=True, kv_len=kv_len, impl="flash")
+        # Rows beyond kv_len attend to garbage in both impls but are
+        # ignored downstream; compare only valid query rows.
+        assert float(jnp.abs(a[0, :, :5] - b[0, :, :5]).max()) < 1e-5
+        assert float(jnp.abs(a[1] - b[1]).max()) < 1e-5
+
+    def test_flash_rejects_bias(self):
         q, k, v = self._qkv(s=8)
         with pytest.raises(ValueError):
-            attention(q, k, v, kv_len=jnp.array([4, 8]), impl="flash")
+            attention(q, k, v, bias=jnp.zeros((2, 4, 8, 8)), impl="flash")

@@ -133,10 +133,13 @@ class DecoderAttention(nn.Module):
             v_att = jnp.repeat(v_att, rep, axis=1)
 
         # LLaMA-family scale is head_dim**-0.5 (ops.attention applies it).
+        # Single-token decode steps stay on the XLA path (a 1-row q tile
+        # under-utilizes the MXU; XLA's batched matvec is better there);
+        # prefill uses the fused Pallas kernel incl. kv_len masking.
         o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
                       v_att.astype(self.dtype), causal=att_causal,
                       kv_len=att_kv_len,
-                      impl="xla" if att_kv_len is not None else self.attn_impl)
+                      impl="xla" if s == 1 else self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
         return o, new_cache

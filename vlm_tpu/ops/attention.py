@@ -7,10 +7,12 @@ framework. Sequence lengths in this workload are short (≤ 577 vision tokens,
 head) always fits in VMEM. The Pallas kernel therefore uses the simple
 optimal schedule for this regime: full K/V resident in VMEM, queries tiled,
 scores materialized per q-tile in fp32 — one HBM pass over Q/K/V/O, MXU for
-both matmuls, no streaming-softmax bookkeeping.
+both matmuls, no streaming-softmax bookkeeping. Per-sequence valid-length
+masking (``kv_len``) is supported in-kernel so padded prefill batches run
+the fused path too.
 
 ``attention(..., impl="xla")`` is the fallback used for CPU tests, gradients
-(probing with unfrozen backbone layers), and arbitrary masks.
+(probing with unfrozen backbone layers), and arbitrary additive biases.
 """
 
 from __future__ import annotations
@@ -53,13 +55,14 @@ def _xla_attention(q, k, v, *, causal: bool, scale: float,
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
-                  offset: int):
+def _flash_kernel(kvl_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  causal: bool, offset: int, masked: bool, heads: int):
     """One (batch*head, q_tile) program: full-K/V fused attention.
 
     ``offset = sk - sq`` aligns the causal diagonal to the end of the kv axis
-    (cached-prefix decoding). Padded query rows attend unmasked; their outputs
-    are sliced away by the caller.
+    (cached-prefix decoding). ``kvl_ref`` is a scalar-prefetch [B] vector of
+    valid kv lengths when ``masked``. Padded query rows attend unmasked;
+    their outputs are sliced away by the caller.
     """
     from jax.experimental import pallas as pl
 
@@ -69,12 +72,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [Tq, Sk]
+    ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     if causal:
         i = pl.program_id(1)
         tq = q.shape[0]
         qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * tq
-        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(ki <= qi + offset, s, NEG_INF)
+    if masked:
+        g = pl.program_id(0)
+        s = jnp.where(ki < kvl_ref[g // heads], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -84,8 +90,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "q_tile"))
-def _flash_attention(q, k, v, *, causal: bool, q_tile: int = 256):
+@functools.partial(jax.jit, static_argnames=("causal", "q_tile", "heads"))
+def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
+                     q_tile: int = 256):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -96,6 +103,10 @@ def _flash_attention(q, k, v, *, causal: bool, q_tile: int = 256):
     q3 = q.reshape(bh, sq, d)
     k3 = k.reshape(bh, sk, d)
     v3 = v.reshape(bh, sk, d)
+    masked = kv_len is not None
+    if kv_len is None:
+        kv_len = jnp.full((b,), sk, jnp.int32)
+    kvl = kv_len.astype(jnp.int32)
 
     tq = min(q_tile, sq)
     # Pad sq up to a tile multiple; padded queries attend to everything but
@@ -105,23 +116,27 @@ def _flash_attention(q, k, v, *, causal: bool, q_tile: int = 256):
         q3 = jnp.pad(q3, ((0, 0), (0, pad), (0, 0)))
     nq = (sq + pad) // tq
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, causal=causal,
-                          offset=sk - sq),
-        out_shape=jax.ShapeDtypeStruct((bh, sq + pad, d), q.dtype),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, tq, d), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i: (g, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i: (g, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, d), lambda g, i: (g, i, 0),
+        out_specs=pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal,
+                          offset=sk - sq, masked=masked, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((bh, sq + pad, d), q.dtype),
+        grid_spec=grid_spec,
         interpret=PALLAS_INTERPRET,
-    )(q3, k3, v3)
+    )(kvl, q3, k3, v3)
     if pad:
         out = out[:, :sq]
     return out.reshape(b, h, sq, d)
@@ -144,12 +159,13 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        use_flash = (on_tpu and bias is None and kv_len is None
+        use_flash = (on_tpu and bias is None
                      and q.shape[-1] in (64, 128, 256))
         impl = "flash" if use_flash else "xla"
     if impl == "flash":
-        if bias is not None or kv_len is not None:
-            raise ValueError("flash impl supports causal masking only")
-        return _flash_attention(q, k, v, causal=causal)
+        if bias is not None:
+            raise ValueError("flash impl does not support additive bias")
+        return _flash_attention(q, k, v, kv_len, causal=causal,
+                                heads=q.shape[1])
     return _xla_attention(q, k, v, causal=causal, scale=scale,
                           kv_len=kv_len, bias=bias)
