@@ -1,0 +1,140 @@
+"""HF weight-converter tests: build a fake HF checkpoint with the public
+naming scheme for a tiny LLaVA config, convert, and check the numerics land
+in the right places (transposes, qkv splits, conv layout)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("safetensors")
+
+import jax
+import jax.numpy as jnp
+
+from vlm_tpu.models.configs import llava_config
+from vlm_tpu.models.hf_weights import load_vlm_weights
+from vlm_tpu.models.vlm import init_vlm
+
+
+def _fake_llava_checkpoint(tmp_path, cfg):
+    """Random tensors under the HF LLaVA names matching the tiny config."""
+    from safetensors.numpy import save_file
+    rng = np.random.default_rng(0)
+    v = cfg.vision
+    d = cfg.decoder
+    t = {}
+
+    def add(name, shape):
+        t[name] = rng.normal(scale=0.02, size=shape).astype(np.float32)
+
+    p = "vision_tower.vision_model"
+    add(f"{p}.embeddings.patch_embedding.weight",
+        (v.hidden, 3, v.patch_size, v.patch_size))
+    add(f"{p}.embeddings.patch_embedding.bias", (v.hidden,))
+    add(f"{p}.embeddings.class_embedding", (v.hidden,))
+    add(f"{p}.embeddings.position_embedding.weight", (v.seq_len, v.hidden))
+    add(f"{p}.pre_layrnorm.weight", (v.hidden,))
+    add(f"{p}.pre_layrnorm.bias", (v.hidden,))
+    for i in range(v.layers):
+        lp = f"{p}.encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            add(f"{lp}.self_attn.{proj}.weight", (v.hidden, v.hidden))
+            add(f"{lp}.self_attn.{proj}.bias", (v.hidden,))
+        for ln in ("layer_norm1", "layer_norm2"):
+            add(f"{lp}.{ln}.weight", (v.hidden,))
+            add(f"{lp}.{ln}.bias", (v.hidden,))
+        add(f"{lp}.mlp.fc1.weight", (v.mlp_dim, v.hidden))
+        add(f"{lp}.mlp.fc1.bias", (v.mlp_dim,))
+        add(f"{lp}.mlp.fc2.weight", (v.hidden, v.mlp_dim))
+        add(f"{lp}.mlp.fc2.bias", (v.hidden,))
+    add(f"{p}.post_layernorm.weight", (v.hidden,))
+    add(f"{p}.post_layernorm.bias", (v.hidden,))
+
+    add("multi_modal_projector.linear_1.weight", (d.hidden, v.hidden))
+    add("multi_modal_projector.linear_1.bias", (d.hidden,))
+    add("multi_modal_projector.linear_2.weight", (d.hidden, d.hidden))
+    add("multi_modal_projector.linear_2.bias", (d.hidden,))
+
+    lm = "language_model.model"
+    add(f"{lm}.embed_tokens.weight", (d.vocab_size, d.hidden))
+    for i in range(d.layers):
+        lp = f"{lm}.layers.{i}"
+        add(f"{lp}.self_attn.q_proj.weight",
+            (d.heads * d.head_dim, d.hidden))
+        add(f"{lp}.self_attn.k_proj.weight",
+            (d.kv_heads * d.head_dim, d.hidden))
+        add(f"{lp}.self_attn.v_proj.weight",
+            (d.kv_heads * d.head_dim, d.hidden))
+        add(f"{lp}.self_attn.o_proj.weight",
+            (d.hidden, d.heads * d.head_dim))
+        add(f"{lp}.input_layernorm.weight", (d.hidden,))
+        add(f"{lp}.post_attention_layernorm.weight", (d.hidden,))
+        add(f"{lp}.mlp.gate_proj.weight", (d.mlp_dim, d.hidden))
+        add(f"{lp}.mlp.up_proj.weight", (d.mlp_dim, d.hidden))
+        add(f"{lp}.mlp.down_proj.weight", (d.hidden, d.mlp_dim))
+    add(f"{lm}.norm.weight", (d.hidden,))
+    add("language_model.lm_head.weight", (d.vocab_size, d.hidden))
+
+    save_file(t, str(tmp_path / "model.safetensors"))
+    return t
+
+
+class TestLLaVAConversion:
+    def test_converts_and_places(self, tmp_path):
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        hf = _fake_llava_checkpoint(tmp_path, cfg)
+        out = load_vlm_weights("llava", cfg, tmp_path, params)
+
+        tree = out["params"]
+
+        def unbox(x):
+            return np.asarray(x.unbox() if hasattr(x, "unbox") else x)
+
+        # vision q_proj: torch [out, in] -> flax [in, out]
+        got = unbox(tree["vision"]["block_0"]["attn"]["q_proj"]["kernel"])
+        want = hf["vision_tower.vision_model.encoder.layers.0"
+                  ".self_attn.q_proj.weight"].T
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # conv OIHW -> HWIO
+        got = unbox(tree["vision"]["patch_embed"]["kernel"])
+        want = np.transpose(
+            hf["vision_tower.vision_model.embeddings.patch_embedding.weight"],
+            (2, 3, 1, 0))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # decoder embed + lm_head
+        got = unbox(tree["decoder"]["embed"]["embedding"])
+        np.testing.assert_allclose(
+            got, hf["language_model.model.embed_tokens.weight"], rtol=1e-6)
+        got = unbox(tree["decoder"]["lm_head"]["kernel"])
+        np.testing.assert_allclose(
+            got, hf["language_model.lm_head.weight"].T, rtol=1e-6)
+        # projector
+        got = unbox(tree["projector"]["fc1"]["kernel"])
+        np.testing.assert_allclose(
+            got, hf["multi_modal_projector.linear_1.weight"].T, rtol=1e-6)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from safetensors.numpy import save_file
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        _fake_llava_checkpoint(tmp_path, cfg)
+        # corrupt one tensor's shape
+        bad = {"vision_tower.vision_model.post_layernorm.weight":
+               np.zeros((7,), np.float32)}
+        from vlm_tpu.models.hf_weights import _load_safetensors
+        full = _load_safetensors(tmp_path)
+        full.update(bad)
+        save_file(full, str(tmp_path / "model.safetensors"))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_vlm_weights("llava", cfg, tmp_path, params)
+
+    def test_forward_runs_with_converted_weights(self, tmp_path):
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        _fake_llava_checkpoint(tmp_path, cfg)
+        out = load_vlm_weights("llava", cfg, tmp_path, params)
+        s = cfg.vision.image_size
+        logits = module.apply(out, jnp.zeros((1, s, s, 3), jnp.float32),
+                              jnp.ones((1, 2), jnp.int32),
+                              jnp.ones((1, 2), jnp.int32))
+        assert np.isfinite(np.asarray(logits)).all()

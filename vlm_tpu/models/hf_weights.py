@@ -43,16 +43,21 @@ def _conv(x):  # torch conv OIHW -> flax HWIO
 
 
 def _set(tree: Dict, path: str, value, expect_shape=True):
+    import flax.linen as nn
+
     keys = path.split("/")
     node = tree
     for k in keys[:-1]:
         node = node[k]
     old = node[keys[-1]]
-    if expect_shape and tuple(old.shape) != tuple(value.shape):
+    boxed = isinstance(old, nn.Partitioned)
+    old_arr = old.unbox() if boxed else old
+    if expect_shape and tuple(old_arr.shape) != tuple(value.shape):
         raise ValueError(
-            f"shape mismatch at {path}: ours {tuple(old.shape)} "
+            f"shape mismatch at {path}: ours {tuple(old_arr.shape)} "
             f"vs checkpoint {tuple(value.shape)}")
-    node[keys[-1]] = jnp.asarray(value, dtype=old.dtype)
+    new = jnp.asarray(value, dtype=old_arr.dtype)
+    node[keys[-1]] = old.replace_boxed(new) if boxed else new
 
 
 def convert_clip_vision(hf: Dict[str, np.ndarray], vision_tree: Dict,
