@@ -138,3 +138,126 @@ class TestLLaVAConversion:
                               jnp.ones((1, 2), jnp.int32),
                               jnp.ones((1, 2), jnp.int32))
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def _fake_blip2_checkpoint(tmp_path, cfg):
+    """Random tensors under the HF BLIP-2 names matching the tiny config."""
+    from safetensors.numpy import save_file
+    rng = np.random.default_rng(1)
+    v = cfg.vision
+    d = cfg.decoder
+    qf = cfg.qformer
+    t = {}
+
+    def add(name, shape):
+        t[name] = rng.normal(scale=0.02, size=shape).astype(np.float32)
+
+    p = "vision_model"
+    add(f"{p}.embeddings.patch_embedding.weight",
+        (v.hidden, 3, v.patch_size, v.patch_size))
+    add(f"{p}.embeddings.patch_embedding.bias", (v.hidden,))
+    add(f"{p}.embeddings.class_embedding", (v.hidden,))
+    add(f"{p}.embeddings.position_embedding", (1, v.seq_len, v.hidden))
+    for i in range(v.layers):
+        lp = f"{p}.encoder.layers.{i}"
+        add(f"{lp}.self_attn.qkv.weight", (3 * v.hidden, v.hidden))
+        add(f"{lp}.self_attn.qkv.bias", (3 * v.hidden,))
+        add(f"{lp}.self_attn.projection.weight", (v.hidden, v.hidden))
+        add(f"{lp}.self_attn.projection.bias", (v.hidden,))
+        for ln in ("layer_norm1", "layer_norm2"):
+            add(f"{lp}.{ln}.weight", (v.hidden,))
+            add(f"{lp}.{ln}.bias", (v.hidden,))
+        add(f"{lp}.mlp.fc1.weight", (v.mlp_dim, v.hidden))
+        add(f"{lp}.mlp.fc1.bias", (v.mlp_dim,))
+        add(f"{lp}.mlp.fc2.weight", (v.hidden, v.mlp_dim))
+        add(f"{lp}.mlp.fc2.bias", (v.hidden,))
+    add(f"{p}.post_layernorm.weight", (v.hidden,))
+    add(f"{p}.post_layernorm.bias", (v.hidden,))
+
+    add("query_tokens", (1, qf.num_query_tokens, qf.hidden))
+    add("qformer.layernorm.weight", (qf.hidden,))
+    add("qformer.layernorm.bias", (qf.hidden,))
+    for i in range(qf.layers):
+        lp = f"qformer.encoder.layer.{i}"
+        blocks = [(f"{lp}.attention", qf.hidden)]
+        if i % qf.cross_attention_frequency == 0:
+            blocks.append((f"{lp}.crossattention", v.hidden))
+        for bp, kv_in in blocks:
+            for proj in ("query", "key", "value"):
+                in_dim = qf.hidden if proj == "query" else kv_in
+                add(f"{bp}.attention.{proj}.weight", (qf.hidden, in_dim))
+                add(f"{bp}.attention.{proj}.bias", (qf.hidden,))
+            add(f"{bp}.output.dense.weight", (qf.hidden, qf.hidden))
+            add(f"{bp}.output.dense.bias", (qf.hidden,))
+            add(f"{bp}.output.LayerNorm.weight", (qf.hidden,))
+            add(f"{bp}.output.LayerNorm.bias", (qf.hidden,))
+        add(f"{lp}.intermediate_query.dense.weight", (qf.mlp_dim, qf.hidden))
+        add(f"{lp}.intermediate_query.dense.bias", (qf.mlp_dim,))
+        add(f"{lp}.output_query.dense.weight", (qf.hidden, qf.mlp_dim))
+        add(f"{lp}.output_query.dense.bias", (qf.hidden,))
+        add(f"{lp}.output_query.LayerNorm.weight", (qf.hidden,))
+        add(f"{lp}.output_query.LayerNorm.bias", (qf.hidden,))
+    add("language_projection.weight", (d.hidden, qf.hidden))
+    add("language_projection.bias", (d.hidden,))
+
+    lm = "language_model.model.decoder"
+    add(f"{lm}.embed_tokens.weight", (d.vocab_size, d.hidden))
+    add(f"{lm}.embed_positions.weight", (d.max_position + 2, d.hidden))
+    for i in range(d.layers):
+        lp = f"{lm}.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            add(f"{lp}.self_attn.{proj}.weight", (d.hidden, d.hidden))
+            add(f"{lp}.self_attn.{proj}.bias", (d.hidden,))
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            add(f"{lp}.{ln}.weight", (d.hidden,))
+            add(f"{lp}.{ln}.bias", (d.hidden,))
+        add(f"{lp}.fc1.weight", (d.mlp_dim, d.hidden))
+        add(f"{lp}.fc1.bias", (d.mlp_dim,))
+        add(f"{lp}.fc2.weight", (d.hidden, d.mlp_dim))
+        add(f"{lp}.fc2.bias", (d.hidden,))
+    add(f"{lm}.final_layer_norm.weight", (d.hidden,))
+    add(f"{lm}.final_layer_norm.bias", (d.hidden,))
+
+    save_file(t, str(tmp_path / "model.safetensors"))
+    return t
+
+
+class TestBLIP2Conversion:
+    def test_converts_and_runs(self, tmp_path):
+        from vlm_tpu.models.configs import blip2_config
+        cfg = blip2_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        hf = _fake_blip2_checkpoint(tmp_path, cfg)
+        out = load_vlm_weights("blip2", cfg, tmp_path, params)
+        tree = out["params"]
+
+        def unbox(x):
+            return np.asarray(x.unbox() if hasattr(x, "unbox") else x)
+
+        # fused qkv split: q slice lands in q_proj (transposed)
+        qkv = hf["vision_model.encoder.layers.0.self_attn.qkv.weight"]
+        h = cfg.vision.hidden
+        np.testing.assert_allclose(
+            unbox(tree["vision"]["block_0"]["attn"]["q_proj"]["kernel"]),
+            qkv[:h].T, rtol=1e-6)
+        np.testing.assert_allclose(
+            unbox(tree["vision"]["block_0"]["attn"]["k_proj"]["kernel"]),
+            qkv[h:2 * h].T, rtol=1e-6)
+        # q-former query tokens + cross attention
+        np.testing.assert_allclose(unbox(tree["projector"]["query_tokens"]),
+                                   hf["query_tokens"], rtol=1e-6)
+        np.testing.assert_allclose(
+            unbox(tree["projector"]["cross_attn_0"]["k"]["kernel"]),
+            hf["qformer.encoder.layer.0.crossattention.attention.key"
+               ".weight"].T, rtol=1e-6)
+        # OPT positions (+2 rows) and per-layer norms
+        np.testing.assert_allclose(
+            unbox(tree["decoder"]["pos_embed"]["embedding"]),
+            hf["language_model.model.decoder.embed_positions.weight"],
+            rtol=1e-6)
+        # full forward is finite
+        s = cfg.vision.image_size
+        logits = module.apply(out, jnp.zeros((1, s, s, 3), jnp.float32),
+                              jnp.zeros((1, 0), jnp.int32),
+                              jnp.ones((1, 3), jnp.int32))
+        assert np.isfinite(np.asarray(logits)).all()

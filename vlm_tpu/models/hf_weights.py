@@ -184,6 +184,92 @@ def convert_llama_decoder(hf: Dict[str, np.ndarray], dec_tree: Dict,
         _set(dec_tree, "lm_head/kernel", _t(g(lm_key)))
 
 
+def convert_opt_decoder(hf: Dict[str, np.ndarray], dec_tree: Dict,
+                        layers: int,
+                        prefix: str = "language_model.model.decoder"):
+    """OPT decoder: biased projections, per-layer self_attn_layer_norm /
+    final_layer_norm → our input_norm / post_attn_norm, plain fc1/down FFN,
+    learned positions with the +2 offset baked into embed_positions."""
+    g = hf.__getitem__
+    p = prefix
+    _set(dec_tree, "embed/embedding", g(f"{p}.embed_tokens.weight"))
+    _set(dec_tree, "pos_embed/embedding", g(f"{p}.embed_positions.weight"))
+    for i in range(layers):
+        lp = f"{p}.layers.{i}"
+        bt = f"block_{i}"
+        for ours, theirs in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                             ("v_proj", "v_proj"), ("o_proj", "out_proj")):
+            _set(dec_tree, f"{bt}/attn/{ours}/kernel",
+                 _t(g(f"{lp}.self_attn.{theirs}.weight")))
+            _set(dec_tree, f"{bt}/attn/{ours}/bias",
+                 g(f"{lp}.self_attn.{theirs}.bias"))
+        _set(dec_tree, f"{bt}/input_norm/scale",
+             g(f"{lp}.self_attn_layer_norm.weight"))
+        _set(dec_tree, f"{bt}/input_norm/bias",
+             g(f"{lp}.self_attn_layer_norm.bias"))
+        _set(dec_tree, f"{bt}/post_attn_norm/scale",
+             g(f"{lp}.final_layer_norm.weight"))
+        _set(dec_tree, f"{bt}/post_attn_norm/bias",
+             g(f"{lp}.final_layer_norm.bias"))
+        _set(dec_tree, f"{bt}/mlp/fc1/kernel", _t(g(f"{lp}.fc1.weight")))
+        _set(dec_tree, f"{bt}/mlp/fc1/bias", g(f"{lp}.fc1.bias"))
+        _set(dec_tree, f"{bt}/mlp/down_proj/kernel",
+             _t(g(f"{lp}.fc2.weight")))
+        _set(dec_tree, f"{bt}/mlp/down_proj/bias", g(f"{lp}.fc2.bias"))
+    _set(dec_tree, "final_norm/scale", g(f"{p}.final_layer_norm.weight"))
+    _set(dec_tree, "final_norm/bias", g(f"{p}.final_layer_norm.bias"))
+
+
+def convert_qformer(hf: Dict[str, np.ndarray], proj_tree: Dict,
+                    layers: int, cross_freq: int,
+                    prefix: str = "qformer"):
+    """BLIP-2 Q-Former → our projector tree (query tokens, BERT-style
+    self/cross attention per layer, query FFN, language projection)."""
+    g = hf.__getitem__
+    p = prefix
+    _set(proj_tree, "query_tokens", g("query_tokens"))
+    _set(proj_tree, "input_ln/scale", g(f"{p}.layernorm.weight"))
+    _set(proj_tree, "input_ln/bias", g(f"{p}.layernorm.bias"))
+    for i in range(layers):
+        lp = f"{p}.encoder.layer.{i}"
+
+        def attn(block_name, hf_attn):
+            for ours, theirs in (("q", "query"), ("k", "key"),
+                                 ("v", "value")):
+                _set(proj_tree, f"{block_name}/{ours}/kernel",
+                     _t(g(f"{hf_attn}.attention.{theirs}.weight")))
+                _set(proj_tree, f"{block_name}/{ours}/bias",
+                     g(f"{hf_attn}.attention.{theirs}.bias"))
+            _set(proj_tree, f"{block_name}/out/kernel",
+                 _t(g(f"{hf_attn}.output.dense.weight")))
+            _set(proj_tree, f"{block_name}/out/bias",
+                 g(f"{hf_attn}.output.dense.bias"))
+            _set(proj_tree, f"{block_name}/ln/scale",
+                 g(f"{hf_attn}.output.LayerNorm.weight"))
+            _set(proj_tree, f"{block_name}/ln/bias",
+                 g(f"{hf_attn}.output.LayerNorm.bias"))
+
+        attn(f"self_attn_{i}", f"{lp}.attention")
+        if i % cross_freq == 0:
+            attn(f"cross_attn_{i}", f"{lp}.crossattention")
+        _set(proj_tree, f"ffn_up_{i}/kernel",
+             _t(g(f"{lp}.intermediate_query.dense.weight")))
+        _set(proj_tree, f"ffn_up_{i}/bias",
+             g(f"{lp}.intermediate_query.dense.bias"))
+        _set(proj_tree, f"ffn_down_{i}/kernel",
+             _t(g(f"{lp}.output_query.dense.weight")))
+        _set(proj_tree, f"ffn_down_{i}/bias",
+             g(f"{lp}.output_query.dense.bias"))
+        _set(proj_tree, f"ffn_ln_{i}/scale",
+             g(f"{lp}.output_query.LayerNorm.weight"))
+        _set(proj_tree, f"ffn_ln_{i}/bias",
+             g(f"{lp}.output_query.LayerNorm.bias"))
+    _set(proj_tree, "language_projection/kernel",
+         _t(g("language_projection.weight")))
+    _set(proj_tree, "language_projection/bias",
+         g("language_projection.bias"))
+
+
 def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
     """Convert a local HF checkpoint directory into our param tree.
 
@@ -223,11 +309,9 @@ def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
     elif family == "blip2":
         convert_blip2_vision(hf, tree["vision"], v.layers,
                              prefix="vision_model")
-        # Q-Former + OPT decoder conversion: wired in a follow-up; loading a
-        # real BLIP-2 checkpoint today raises here instead of silently
-        # producing garbage.
-        raise NotImplementedError(
-            "BLIP-2 Q-Former/OPT weight conversion not yet wired")
+        convert_qformer(hf, tree["projector"], cfg.qformer.layers,
+                        cfg.qformer.cross_attention_frequency)
+        convert_opt_decoder(hf, tree["decoder"], cfg.decoder.layers)
     else:
         raise ValueError(f"unknown family {family}")
 
