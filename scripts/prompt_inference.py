@@ -100,6 +100,8 @@ def main():
                 paths, prompt, max_tokens=max_tokens,
                 batch_size=batch_size, progress=meter.update)
             for out, label in zip(outputs, labels):
+                if out is None:     # interrupted before this image finished
+                    continue
                 preds.append(dataset.get_labels_from_text_output(out))
                 gts.append(label)
         else:

@@ -159,26 +159,34 @@ class ContinuousBatcher:
             if progress is not None:
                 progress(1)
 
-        while next_image < n_images or any(s.active for s in slots):
-            free = [i for i, s in enumerate(slots) if not s.active]
-            if free and next_image < n_images:
-                admit(free)
-                continue
-            # one decode step for all slots
-            toks, cache = self._decode_all(
-                params, jnp.asarray(cur_tokens), jnp.asarray(seq_len), cache)
-            toks = np.asarray(toks)
-            for i, s in enumerate(slots):
-                if not s.active:
+        try:
+            while next_image < n_images or any(s.active for s in slots):
+                free = [i for i, s in enumerate(slots) if not s.active]
+                if free and next_image < n_images:
+                    admit(free)
                     continue
-                t = int(toks[i])
-                seq_len[i] += 1
-                gen_count[i] += 1
-                s.tokens.append(t)
-                if t == self.eos_id or gen_count[i] >= self.max_new_tokens:
-                    s.active = False
-                    _finish(i)
-            # inactive slots advance nothing; their next decode input is pad
-            cur_tokens = np.where([s.active for s in slots], toks,
-                                  self.pad_id).astype(np.int32)
-        return [r if r is not None else [] for r in results]
+                # one decode step for all slots
+                toks, cache = self._decode_all(
+                    params, jnp.asarray(cur_tokens), jnp.asarray(seq_len),
+                    cache)
+                toks = np.asarray(toks)
+                for i, s in enumerate(slots):
+                    if not s.active:
+                        continue
+                    t = int(toks[i])
+                    seq_len[i] += 1
+                    gen_count[i] += 1
+                    s.tokens.append(t)
+                    if t == self.eos_id or \
+                            gen_count[i] >= self.max_new_tokens:
+                        s.active = False
+                        _finish(i)
+                # inactive slots advance nothing; next decode input is pad
+                cur_tokens = np.where([s.active for s in slots], toks,
+                                      self.pad_id).astype(np.int32)
+        except KeyboardInterrupt:
+            # Partial-results semantics (reference:
+            # scripts/prompt_inference.py:80-86): unfinished inputs stay
+            # None so the caller can evaluate only what completed.
+            print("\n[batcher] interrupted — returning completed results")
+        return results

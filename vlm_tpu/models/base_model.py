@@ -191,7 +191,10 @@ class VLMModel:
             post_ids_row=np.asarray(post_ids[0]),
             prompt_len_scalar=int(prompt_len[0]),
             n_images=len(paths), progress=progress)
-        return [self.tokenizer.decode(t).strip() for t in token_lists]
+        # Entries left None (KeyboardInterrupt) stay None so callers can
+        # evaluate partial results like the reference.
+        return [self.tokenizer.decode(t).strip() if t is not None else None
+                for t in token_lists]
 
     # ------------------------- probing -------------------------
     def get_vision_backbone(self, cleanup: bool = True) -> VisionBackbone:
