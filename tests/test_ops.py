@@ -99,3 +99,33 @@ class TestAttention:
         q, k, v = self._qkv(s=8)
         with pytest.raises(ValueError):
             attention(q, k, v, bias=jnp.zeros((2, 4, 8, 8)), impl="flash")
+
+
+class TestGQAAttention:
+    def _gqa(self, b=2, h=8, kvh=2, s=32, d=64, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, kvh, s, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, kvh, s, d)), jnp.float32)
+        return q, k, v
+
+    @pytest.mark.parametrize("impl", ["xla", "flash"])
+    @pytest.mark.parametrize("kvh", [1, 2])
+    def test_grouped_matches_repeated(self, impl, kvh):
+        q, k, v = self._gqa(kvh=kvh)
+        rep = q.shape[1] // kvh
+        ref = attention(q, jnp.repeat(k, rep, axis=1),
+                        jnp.repeat(v, rep, axis=1), causal=True, impl="xla")
+        out = attention(q, k, v, causal=True, impl=impl)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    def test_grouped_with_kv_len(self):
+        q, k, v = self._gqa(kvh=2, seed=1)
+        kv_len = jnp.array([10, 32])
+        rep = q.shape[1] // 2
+        ref = attention(q, jnp.repeat(k, rep, axis=1),
+                        jnp.repeat(v, rep, axis=1), kv_len=kv_len,
+                        impl="xla")
+        for impl in ("xla", "flash"):
+            out = attention(q, k, v, kv_len=kv_len, impl=impl)
+            assert float(jnp.abs(out - ref).max()) < 1e-5, impl

@@ -52,7 +52,10 @@ class TestQuantMatmul:
         qw = quant.quantize_int8(_w((256, 128), seed=5))
         ref = x @ quant.dequantize(qw)
         out = quant.quant_matmul(x, qw, use_pallas=use_pallas)
-        assert float(jnp.abs(out - ref).max()) < 1e-4
+        # The pallas kernel feeds the MXU bf16 operands (4x throughput);
+        # allow bf16-level rounding vs the fp32 reference.
+        tol = 1e-3 if use_pallas else 1e-4
+        assert float(jnp.abs(out - ref).max()) < tol
 
     def test_int4_matmul_matches_dequant(self):
         x = _w((8, 256), seed=6)
@@ -68,7 +71,7 @@ class TestQuantMatmul:
         ref = x @ quant.dequantize(qw)
         out = quant.quant_matmul(x, qw, use_pallas=True)
         assert out.shape == (13, 100)
-        assert float(jnp.abs(out - ref).max()) < 1e-4
+        assert float(jnp.abs(out - ref).max()) < 1e-3
 
 
 class TestQuantizedModels:

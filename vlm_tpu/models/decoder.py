@@ -127,11 +127,8 @@ class DecoderAttention(nn.Module):
             att_causal = causal
             att_kv_len = kv_len
 
-        if cfg.kv_heads != cfg.heads:
-            rep = cfg.heads // cfg.kv_heads
-            k_att = jnp.repeat(k_att, rep, axis=1)
-            v_att = jnp.repeat(v_att, rep, axis=1)
-
+        # GQA/MQA: k_att/v_att keep their kv_heads; ops.attention contracts
+        # groups against the shared KV heads (no repeated cache traffic).
         # LLaMA-family scale is head_dim**-0.5 (ops.attention applies it).
         # Single-token decode steps stay on the XLA path (a 1-row q tile
         # under-utilizes the MXU; XLA's batched matvec is better there);

@@ -34,25 +34,33 @@ PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
 def _xla_attention(q, k, v, *, causal: bool, scale: float,
                    kv_len: Optional[jax.Array] = None,
                    bias: Optional[jax.Array] = None) -> jax.Array:
-    """Reference attention. q/k/v: [B, H, S, D] (k/v: [B, H, Sk, D])."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    """Reference attention. q: [B, H, Sq, D]; k/v: [B, KV, Sk, D] where
+    KV divides H (grouped-query attention contracts against the shared KV
+    heads directly — never materializes a repeated cache, which matters for
+    MQA decode where a repeat would 8× the HBM cache traffic)."""
+    b, h, sq, d = q.shape
+    kvh, sk = k.shape[1], k.shape[2]
+    g = h // kvh
+    qg = q.reshape(b, kvh, g, sq, d)
+    s = jnp.einsum("bngqd,bnkd->bngqk", qg, k,
                    preferred_element_type=jnp.float32) * scale
     if bias is not None:
-        s = s + bias
-    sq, sk = q.shape[2], k.shape[2]
+        s = s + jnp.broadcast_to(bias, (b, h, sq, sk)).reshape(
+            b, kvh, g, sq, sk)
     if causal:
         # Align the causal diagonal to the *end* of the kv axis so cached
         # prefixes (sk > sq) attend correctly.
         offset = sk - sq
         qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-        s = jnp.where((ki <= qi + offset)[None, None], s, NEG_INF)
+        s = jnp.where((ki <= qi + offset)[None, None, None], s, NEG_INF)
     if kv_len is not None:
         ki = jax.lax.broadcasted_iota(jnp.int32, (sk,), 0)
         mask = ki[None, :] < kv_len[:, None]                  # [B, Sk]
-        s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+        s = jnp.where(mask[:, None, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    out = jnp.einsum("bngqk,bnkd->bngqd", p, v)
+    return out.reshape(b, h, sq, d)
 
 
 def _flash_kernel(kvl_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -97,12 +105,15 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, sq, d = q.shape
-    sk = k.shape[2]
+    kvh, sk = k.shape[1], k.shape[2]
+    group = h // kvh
     scale = d ** -0.5
     bh = b * h
     q3 = q.reshape(bh, sq, d)
-    k3 = k.reshape(bh, sk, d)
-    v3 = v.reshape(bh, sk, d)
+    # Grouped-query support: KV stays at kvh heads; the index map routes
+    # each q-head's program to its shared KV row (no repeat materialized).
+    k3 = k.reshape(b * kvh, sk, d)
+    v3 = v.reshape(b * kvh, sk, d)
     masked = kv_len is not None
     if kv_len is None:
         kv_len = jnp.full((b,), sk, jnp.int32)
@@ -116,15 +127,18 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
         q3 = jnp.pad(q3, ((0, 0), (0, pad), (0, 0)))
     nq = (sq + pad) // tq
 
+    def kv_row(g):
+        return (g // h) * kvh + (g % h) // group
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, nq),
         in_specs=[
             pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (g, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (kv_row(g), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (g, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (kv_row(g), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
@@ -147,7 +161,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               kv_len: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,
               impl: str = "auto") -> jax.Array:
-    """Multi-head attention. ``q/k/v``: [B, H, S, D].
+    """Multi-head attention. ``q``: [B, H, Sq, D]; ``k/v``: [B, KV, Sk, D]
+    with KV dividing H (grouped/multi-query attention handled natively —
+    both paths contract against the shared KV heads without repeating).
 
     Args:
         causal: causal masking with the diagonal aligned to the end of the

@@ -98,10 +98,14 @@ def dequantize(qw: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
 
 def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref):
     x = x_ref[:]                                         # [tm, K] bf16
-    w = q_ref[:].astype(jnp.float32) * s_ref[:]          # dequant in VMEM
-    o_ref[:] = jax.lax.dot_general(
-        x.astype(jnp.float32), w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # Dequantize in VMEM and feed the MXU in bf16 (fp32 operands would run
+    # the systolic array at 1/4 rate); accumulate fp32, apply the
+    # per-channel scale on the fp32 accumulator for accuracy.
+    w = q_ref[:].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
