@@ -9,7 +9,6 @@ HF-parity path). Non-JPEG files always take the PIL path.
 from __future__ import annotations
 
 import ctypes
-from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np

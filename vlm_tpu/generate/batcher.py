@@ -21,8 +21,7 @@ but sufficient because every prompt in a run has the same length.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,15 +19,14 @@ Prompts are batch-constant (fixed per dataset run), so a single compiled
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..models.configs import VLMConfig
 from ..models.decoder import init_kv_cache
-from ..models.vlm import VLMModule, num_image_tokens
+from ..models.vlm import VLMModule
 
 
 @dataclasses.dataclass

@@ -33,7 +33,7 @@ from ..generate.decode import GenerationEngine, build_prompt_ids
 from ..ops.preprocess import host_batch, normalize_images, recipe_for
 from .backbone import VisionBackbone
 from .configs import VLMConfig
-from .vlm import VLMModule, init_vlm, num_image_tokens
+from .vlm import init_vlm, num_image_tokens
 
 
 class VLMModel:

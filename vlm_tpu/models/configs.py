@@ -16,7 +16,7 @@ same structural quirks, used by the test suite and multi-chip dry runs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,8 +23,7 @@ offset-by-2 learned positions, GQA/MQA via ``kv_heads``, biased projections
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ runs with random-initialized weights (tests, benches, dry-runs).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

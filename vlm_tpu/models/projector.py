@@ -13,8 +13,6 @@ in SURVEY.md §7 (no commodity JAX implementation exists).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

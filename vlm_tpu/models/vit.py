@@ -13,7 +13,7 @@ The encoder replaces the HF towers the reference reaches through
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ only images vary), which keeps everything jit-compatible.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

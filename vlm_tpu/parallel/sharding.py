@@ -22,14 +22,14 @@ no MoE) — documented in SURVEY.md §5 "Long-context".
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from ..core.mesh import DATA_AXIS
 
 
 def param_specs(params: Any) -> Any:

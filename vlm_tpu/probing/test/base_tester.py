@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 from typing import List
 
-import numpy as np
-
 from ...evaluation import Evaluator
 from ..train.data import ImageBatchLoader
 
