@@ -93,6 +93,19 @@ def main():
     batched_ips = done / (time.perf_counter() - t0)
     log(f"[bench] batched (B={batch}): {batched_ips:.2f} img/s")
 
+    # ---------- optional: probing feature-extraction throughput ----------
+    if os.environ.get("VLM_TPU_BENCH_PROBE", "0") == "1":
+        bb = model.get_vision_backbone(cleanup=True)
+        feats = bb.forward(imgs[:batch])             # compile
+        _ = np.asarray(feats)
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_images:
+            _ = np.asarray(bb.forward(imgs[done % batch:][:batch]))
+            done += batch
+        log(f"[bench] probing feature extraction (B={batch}): "
+            f"{done / (time.perf_counter() - t0):.1f} img/s")
+
     print(json.dumps({
         "metric": f"paligemma_{size}_{quant}_zero_shot_images_per_sec"
         if quant != "bf16" else f"paligemma_{size}_zero_shot_images_per_sec",

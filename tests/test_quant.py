@@ -105,3 +105,43 @@ class TestQuantizedModels:
         d8 = nbytes(p8["params"]["decoder"]["block_0"])
         dfp = nbytes(pfp["params"]["decoder"]["block_0"])
         assert d8 < 0.45 * dfp
+
+
+class TestDynamicInt8:
+    def test_activation_quant_roundtrip(self):
+        x = _w((16, 128), seed=10) * 3.0
+        qx, sx = quant.quantize_activations(x)
+        rel = float(jnp.abs(qx * sx - x).max() / jnp.abs(x).max())
+        assert rel < 0.01
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_dynamic_matmul_close_to_fp(self, use_pallas):
+        x = _w((256, 256), seed=11)
+        w = _w((256, 128), seed=12)
+        qw = quant.quantize_int8(w)
+        ref = x @ w
+        out = quant.quant_matmul_dynamic(x, qw, use_pallas=use_pallas)
+        # two int8 quantizations → ~1-2% relative error budget
+        rel = float(jnp.abs(out - ref).max() /
+                    jnp.abs(ref).max())
+        assert rel < 0.03
+
+    def test_pallas_matches_fallback(self):
+        x = _w((130, 64), seed=13)
+        qw = quant.quantize_int8(_w((64, 100), seed=14))
+        a = quant.quant_matmul_dynamic(x, qw, use_pallas=False)
+        b = quant.quant_matmul_dynamic(x, qw, use_pallas=True)
+        assert float(jnp.abs(a - b).max()) < 1e-4
+
+    def test_8bit_model_uses_dynamic_path_in_prefill(self):
+        # structural check: a big-batch forward through a quantized Dense
+        # routes to the dynamic kernel without error
+        import flax.linen as nn
+        from vlm_tpu.models.layers import Dense
+        d = Dense(64, quant_bits=8, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+        params = d.init(jax.random.key(0), jnp.zeros((256, 32)))
+        y = d.apply(params, jnp.ones((256, 32)))
+        assert y.shape == (256, 64)
+        y2 = d.apply(params, jnp.ones((4, 32)))   # decode-like path
+        assert y2.shape == (4, 64)

@@ -70,10 +70,26 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
 def _write_cache(cache_layer: jax.Array, new: jax.Array,
                  start: jax.Array) -> jax.Array:
     """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, H, max, D] at
-    per-sequence offsets ``start`` [B] (vmapped dynamic_update_slice)."""
-    def one(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
-    return jax.vmap(one)(cache_layer, new, start)
+    per-sequence offsets ``start`` [B].
+
+    Implemented as a vectorized masked select over the length axis rather
+    than a vmapped ``dynamic_update_slice``: per-batch dynamic offsets lower
+    to TPU scatter ops that serialize (measured ~3 ms per layer on v5e);
+    the masked write streams the cache layer once at full HBM bandwidth.
+    """
+    b, h, s, d = new.shape
+    max_len = cache_layer.shape[2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, max_len, 1), 2)
+    rel = pos - start[:, None, None, None]            # [B,1,max,1]
+    in_window = (rel >= 0) & (rel < s)
+    if s == 1:
+        update = jnp.broadcast_to(new, (b, h, max_len, d))
+    else:
+        # Gather each cache slot's source row from `new` (clip keeps the
+        # gather in-bounds; out-of-window slots are masked off anyway).
+        idx = jnp.clip(rel[:, 0, :, 0], 0, s - 1)     # [B, max]
+        update = jnp.take_along_axis(new, idx[:, None, :, None], axis=2)
+    return jnp.where(in_window, update, cache_layer)
 
 
 # ------------------------- modules -------------------------
@@ -301,6 +317,10 @@ class Decoder(nn.Module):
             x = jnp.take_along_axis(x, idx[:, None, None], axis=1)
 
         if cfg.tie_embeddings:
+            # Measured on v5e: XLA's attend einsum beats the Pallas skinny
+            # kernel (ops/matmul.py) inside the decode step — the 252-tile
+            # grid's per-step overhead outweighs the bandwidth win at this
+            # size. Revisit with a flatter grid if the LM head grows.
             logits = self.embed.attend(x.astype(self.dtype))
             logits = logits.astype(jnp.float32)
         else:

@@ -122,7 +122,14 @@ class Dense(nn.Module):
                                  scale=jax.lax.stop_gradient(scale),
                                  group_size=gs)
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
-            y = quant_matmul(x2, qw, out_dtype=jnp.float32)
+            if self.quant_bits == 8 and x2.shape[0] >= 128:
+                # Compute-bound regime (prefill): llm.int8-style dynamic
+                # activation quantization → int8×int8 MXU (2x bf16 peak).
+                from ..ops.quant import quant_matmul_dynamic
+                y = quant_matmul_dynamic(x2, qw, out_dtype=jnp.float32)
+            else:
+                # Bandwidth-bound regime (decode): bf16 dequant matmul.
+                y = quant_matmul(x2, qw, out_dtype=jnp.float32)
             y = y.reshape(*x.shape[:-1], self.features)
         else:
             kernel = self.param(
