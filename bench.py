@@ -79,7 +79,7 @@ def main():
     seq_ips = n_seq / (time.perf_counter() - t0)
     log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
 
-    # ---------- batched path ----------
+    # ---------- batched path (host decode + device) ----------
     model.generate_batch(imgs[:batch], MIVIA_PROMPT,
                          max_tokens=max_tokens)  # compile
     t0 = time.perf_counter()
@@ -92,6 +92,33 @@ def main():
         done += batch
     batched_ips = done / (time.perf_counter() - t0)
     log(f"[bench] batched (B={batch}): {batched_ips:.2f} img/s")
+
+    # ---------- device-only (pre-staged pixels; isolates TPU throughput
+    # from this host's single CPU core) ----------
+    import jax.numpy as jnp
+
+    from vlm_tpu.generate.decode import build_prompt_ids
+    from vlm_tpu.models.vlm import num_image_tokens
+    from vlm_tpu.ops.preprocess import host_batch, normalize_images
+
+    pixels = normalize_images(
+        jnp.asarray(host_batch(imgs[:batch], model.recipe)),
+        recipe=model.recipe, compute_dtype=model.policy.compute_dtype)
+    pre_t, post_t, bos_pre, bos_post = model.format_prompt(MIVIA_PROMPT)
+    pre_ids, post_ids, plen = build_prompt_ids(
+        model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), batch,
+        add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+    engine = model._engine(batch, int(plen[0]), max_tokens)
+    r = engine.generate(model.params, pixels, pre_ids, post_ids, plen)
+    _ = np.asarray(r.tokens)
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_images:
+        r = engine.generate(model.params, pixels, pre_ids, post_ids, plen)
+        _ = np.asarray(r.tokens)
+        done += batch
+    device_ips = done / (time.perf_counter() - t0)
+    log(f"[bench] device-only (B={batch}): {device_ips:.2f} img/s")
 
     # ---------- optional: probing feature-extraction throughput ----------
     if os.environ.get("VLM_TPU_BENCH_PROBE", "0") == "1":
