@@ -96,12 +96,14 @@ class TestGoldenRegression:
     """Recompute metrics from the reference's committed preds/gts dumps and
     check our Evaluator reproduces its committed metrics.json exactly."""
 
-    CASES = [
-        ("llava_fp32_linear", "gender", "LFW"),
-        ("llava_fp32_linear", "age", "FairFace"),
-        ("llava_fp32_linear", "emotion", "RAF-DB"),
-        ("llava_fp32_deeper", "gender", "UTKFace"),
-    ]
+    # Every committed reference artifact with a preds/gts dump.
+    CASES = sorted(
+        (run.name, task.name, ds.name)
+        for run in REF_EVAL.iterdir() if run.is_dir()
+        for task in run.iterdir() if task.is_dir()
+        for ds in task.iterdir()
+        if (ds / "preds.json").exists() and (ds / "gts.json").exists()
+    ) if REF_EVAL.exists() else []
 
     @pytest.mark.parametrize("run,task,ds", CASES)
     def test_metrics_match_reference(self, tmp_path, run, task, ds):
