@@ -261,3 +261,78 @@ class TestBLIP2Conversion:
                               jnp.zeros((1, 0), jnp.int32),
                               jnp.ones((1, 3), jnp.int32))
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestQuantizedLoad:
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_loads_into_quantized_dense(self, tmp_path, bits):
+        from vlm_tpu.ops.quant import QuantizedWeight, dequantize
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32,
+                                  quant_bits=bits)
+        hf = _fake_llava_checkpoint(tmp_path, cfg)
+        out = load_vlm_weights("llava", cfg, tmp_path, params)
+        node = out["params"]["decoder"]["block_0"]["attn"]["q_proj"]
+
+        def unbox(x):
+            return x.unbox() if hasattr(x, "unbox") else x
+
+        q = unbox(node["q_kernel"])
+        scale = unbox(node["scale"])
+        assert q.dtype == jnp.int8
+        want = hf["language_model.model.layers.0.self_attn.q_proj.weight"].T
+        gs = 0 if bits == 8 else (want.shape[0] // scale.shape[0])
+        deq = dequantize(QuantizedWeight(q, scale, gs))
+        rel = float(jnp.abs(deq - want).max() / jnp.abs(want).max())
+        assert rel < (0.01 if bits == 8 else 0.15)
+        # vision tower stays fp
+        assert "kernel" in out["params"]["vision"]["block_0"]["attn"]["q_proj"]
+
+    def test_generation_with_quantized_converted_weights(self, tmp_path):
+        from vlm_tpu.models.factory import VLMModelFactory
+        _fake_llava_checkpoint(tmp_path, llava_config("test"))
+        m = VLMModelFactory.create_model("llava", model_id=str(tmp_path),
+                                         quantization="8bit", size="test")
+        from PIL import Image
+        img = Image.fromarray(np.zeros((32, 32, 3), np.uint8))
+        out = m.generate_batch([img], "x", max_tokens=3)
+        assert len(out) == 1
+
+    def test_missing_model_id_path_raises(self):
+        from vlm_tpu.models.factory import VLMModelFactory
+        with pytest.raises(FileNotFoundError, match="local checkpoint"):
+            VLMModelFactory.create_model(
+                "llava", model_id="llava-hf/llava-1.5-7b-hf", size="test")
+
+
+class TestPrefixLM:
+    def test_prefix_tokens_attend_bidirectionally(self):
+        """For PaliGemma, a prefix token's logits must depend on LATER
+        prefix tokens (bidirectional prefix), unlike a causal model."""
+        from vlm_tpu.models.configs import paligemma_config
+        cfg = paligemma_config("test")
+        assert cfg.prefix_lm
+        module, params = init_vlm(cfg, jax.random.key(1), dtype=jnp.float32)
+        s = cfg.vision.image_size
+        px = jnp.zeros((1, s, s, 3), jnp.float32)
+        pre = jnp.zeros((1, 0), jnp.int32)
+        post_a = jnp.asarray([[5, 6, 7]], jnp.int32)
+        post_b = jnp.asarray([[5, 6, 9]], jnp.int32)   # change the LAST token
+        la = module.apply(params, px, pre, post_a)
+        lb = module.apply(params, px, pre, post_b)
+        # logits at the FIRST text position differ because later prefix
+        # tokens are visible
+        assert float(jnp.abs(la[:, -3] - lb[:, -3]).max()) > 1e-6
+
+    def test_causal_family_is_still_causal(self):
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(1), dtype=jnp.float32)
+        s = cfg.vision.image_size
+        px = jnp.zeros((1, s, s, 3), jnp.float32)
+        pre = jnp.ones((1, 2), jnp.int32)
+        post_a = jnp.asarray([[5, 6, 7]], jnp.int32)
+        post_b = jnp.asarray([[5, 6, 9]], jnp.int32)
+        la = module.apply(params, px, pre, post_a)
+        lb = module.apply(params, px, pre, post_b)
+        # earlier positions must NOT see the changed future token
+        assert float(jnp.abs(la[:, :-1] - lb[:, :-1]).max()) < 1e-6

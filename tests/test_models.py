@@ -65,8 +65,11 @@ class TestVLMForward:
         nxt = jnp.argmax(last, -1)[:, None].astype(jnp.int32)
         step_logits, cache = mod.apply(params, nxt, plen, cache,
                                        method="decode_step")
+        # Prefix-LM families need the prefix boundary for the appended
+        # (causal) token in the full forward.
         logits2 = mod.apply(params, px, pre,
-                            jnp.concatenate([post, nxt], axis=1))
+                            jnp.concatenate([post, nxt], axis=1),
+                            prefix_len=plen if cfg.prefix_lm else None)
         assert float(jnp.abs(step_logits - logits2[:, -1]).max()) < 2e-3
 
     def test_prompt_padding_is_masked(self, tiny_vlm):

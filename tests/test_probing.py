@@ -74,7 +74,7 @@ class TestSingleTaskTrainer:
                   "head_config.yaml", "history.csv", "loss_curve.png"):
             assert (ck / f).exists(), f
         feats = root / "probing" / "linear_probing" / "features" / \
-            "llava_fp32_gender"
+            "llava_fp32_gender_test"
         assert (feats / "train_features.npz").exists()
         blob = np.load(feats / "train_features.npz")
         assert blob["x"].shape[0] == 24 and blob["y"].shape == (24,)
@@ -113,7 +113,7 @@ class TestSingleTaskTrainer:
         root, base = in_env
         from vlm_tpu.probing.train.singletask_trainer import SingleTaskTrainer
         feats_dir = root / "probing" / "linear_probing" / "features" / \
-            "llava_fp32_gender"
+            "llava_fp32_gender_test"
         blob = np.load(feats_dir / "train_features.npz")
         np.savez(feats_dir / "train_features.npz",
                  features=blob["x"], labels=blob["y"])

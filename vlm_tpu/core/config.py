@@ -22,8 +22,12 @@ def load_config(path) -> dict:
 
 def project_root() -> Path:
     """Project root from ``VLM_TPU_ROOT``/``PYTHONPATH`` env, else cwd
-    (the reference uses ``PYTHONPATH``, scripts/train_probe.py:4-7)."""
-    return Path(os.getenv("VLM_TPU_ROOT") or os.getenv("PYTHONPATH") or ".")
+    (the reference uses ``PYTHONPATH``, scripts/train_probe.py:4-7).
+    Multi-entry PYTHONPATH uses its first entry."""
+    root = os.getenv("VLM_TPU_ROOT")
+    if not root:
+        root = (os.getenv("PYTHONPATH") or "").split(os.pathsep)[0]
+    return Path(root or ".")
 
 
 def deep_merge(base: dict, override: dict) -> dict:

@@ -109,8 +109,8 @@ class DatasetFactory:
         """``<project root>/configs/task_datasets.yaml``. Project root comes
         from ``VLM_TPU_ROOT`` or ``PYTHONPATH`` (the reference uses
         ``PYTHONPATH``, dataset_factory.py:103-110), else cwd."""
-        project_root = os.getenv("VLM_TPU_ROOT") or os.getenv("PYTHONPATH") or "."
-        return Path(project_root) / "configs" / "task_datasets.yaml"
+        from ..core.config import project_root
+        return project_root() / "configs" / "task_datasets.yaml"
 
     @classmethod
     def load_task_map(cls, *, force: bool = False) -> None:

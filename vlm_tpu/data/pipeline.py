@@ -22,26 +22,45 @@ def prefetch_batches(items: Sequence[Any],
                      make_batch: Callable[[Any], T],
                      depth: int = 2) -> Iterator[T]:
     """Yield ``make_batch(item)`` for each item, produced ``depth`` ahead on
-    a background thread. Exceptions propagate to the consumer."""
+    a background thread. Exceptions propagate to the consumer; abandoning
+    the generator early (consumer error, break) stops the producer instead
+    of leaving it blocked on a full queue."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for it in items:
-                q.put(make_batch(it))
+                batch = make_batch(it)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:       # noqa: BLE001 — re-raised below
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
-    while True:
-        out = q.get()
-        if out is _SENTINEL:
-            break
-        yield out
-    th.join()
+    try:
+        while True:
+            out = q.get()
+            if out is _SENTINEL:
+                break
+            yield out
+    finally:
+        stop.set()
+        th.join()
     if err:
         raise err[0]

@@ -56,8 +56,10 @@ class HFTokenizer:
     def __init__(self, path: str):
         from transformers import AutoTokenizer
         self._tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
-        self.bos_id = self._tok.bos_token_id or 1
-        self.eos_id = self._tok.eos_token_id or 2
+        self.bos_id = self._tok.bos_token_id \
+            if self._tok.bos_token_id is not None else 1
+        self.eos_id = self._tok.eos_token_id \
+            if self._tok.eos_token_id is not None else 2
         self.pad_id = (self._tok.pad_token_id
                        if self._tok.pad_token_id is not None else 0)
 

@@ -23,7 +23,6 @@ an artifact of the reference's layout). Absolute paths behave identically.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, List
 
@@ -32,11 +31,11 @@ from ..data.parsers import AGE_CLASS_NAMES
 
 
 def _resolve_output_dir(output_dir) -> Path:
+    from ..core.config import project_root
     p = Path(output_dir)
     if p.is_absolute():
         return p
-    root = os.getenv("VLM_TPU_ROOT") or os.getenv("PYTHONPATH") or "."
-    return Path(root) / p
+    return project_root() / p
 
 
 class Evaluator:

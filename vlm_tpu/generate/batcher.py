@@ -58,8 +58,13 @@ class ContinuousBatcher:
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
 
-        self._prefill_group = jax.jit(self._prefill_group_impl)
-        self._decode_all = jax.jit(self._decode_all_impl)
+        # The cache is donated: each call's input buffer is dead afterwards,
+        # so XLA updates it in place instead of holding a second multi-GB
+        # copy in HBM.
+        self._prefill_group = jax.jit(self._prefill_group_impl,
+                                      donate_argnums=(5,))
+        self._decode_all = jax.jit(self._decode_all_impl,
+                                   donate_argnums=(3,))
 
     # ------------------------- jitted device fns -------------------------
     def _prefill_group_impl(self, params, pixels, pre_ids, post_ids,

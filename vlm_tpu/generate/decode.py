@@ -74,7 +74,7 @@ class GenerationEngine:
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
-        self._generate = jax.jit(self._generate_impl, donate_argnums=())
+        self._generate = jax.jit(self._generate_impl, donate_argnums=(5,))
 
     def new_cache(self) -> Dict[str, jax.Array]:
         return init_kv_cache(self.cfg.decoder, self.batch_size,

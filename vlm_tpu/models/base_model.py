@@ -90,7 +90,12 @@ class VLMModel:
         from pathlib import Path
         p = Path(self.model_id)
         if not p.exists():
-            return
+            # A typo'd path (or an HF hub id — this framework never
+            # downloads) must not silently produce a random-weight model.
+            raise FileNotFoundError(
+                f"model_id {self.model_id!r} is not a local checkpoint "
+                f"directory (hub ids are not supported; convert the "
+                f"checkpoint locally)")
         if (p / "params.msgpack").exists():
             from ..utils.checkpoint import load_vlm_checkpoint
             self.params = load_vlm_checkpoint(p, self.params)

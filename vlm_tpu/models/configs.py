@@ -102,6 +102,9 @@ class VLMConfig:
     # post-norm output; LLaVA uses the penultimate layer, pre-post-norm).
     vision_feature_layer: int = -1
     drop_cls_for_llm: bool = False      # LLaVA drops CLS before projecting
+    # PaliGemma is a prefix-LM: image+prompt prefix tokens attend
+    # bidirectionally; only generated tokens are causal.
+    prefix_lm: bool = False
     backbone_dim: int = 0               # probing feature dim (reference parity)
     backbone_pooling: str = "mean"      # "mean" | "cls" | "pooler"
 
@@ -177,7 +180,7 @@ def paligemma_config(size: str = "3b") -> VLMConfig:
     return VLMConfig(
         name="paligemma", vision=vision, decoder=decoder, projector="linear",
         vision_feature_layer=-1, backbone_dim=vision.hidden,
-        backbone_pooling="mean")
+        backbone_pooling="mean", prefix_lm=True)
 
 
 def blip2_config(size: str = "6.7b") -> VLMConfig:

@@ -103,7 +103,7 @@ class DecoderAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
-                 kv_len=None, causal=True):
+                 kv_len=None, causal=True, prefix_len=None):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -150,7 +150,7 @@ class DecoderAttention(nn.Module):
         # prefill uses the fused Pallas kernel incl. kv_len masking.
         o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
                       v_att.astype(self.dtype), causal=att_causal,
-                      kv_len=att_kv_len,
+                      kv_len=att_kv_len, prefix_len=prefix_len,
                       impl="xla" if s == 1 else self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
@@ -188,7 +188,7 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
-                 kv_len=None, causal=True):
+                 kv_len=None, causal=True, prefix_len=None):
         cfg = self.cfg
         if cfg.norm == "rmsnorm":
             mk_norm = lambda name: RMSNorm(eps=cfg.norm_eps,
@@ -203,7 +203,7 @@ class DecoderBlock(nn.Module):
             cfg, self.dtype, self.param_dtype, self.attn_impl,
             self.quant_bits, name="attn")(
                 mk_norm("input_norm")(x), positions, rope, cache_kv,
-                write_start, kv_len, causal)
+                write_start, kv_len, causal, prefix_len)
         x = x + h
         x = x + DecoderMLP(cfg, self.dtype, self.param_dtype,
                            self.quant_bits, name="mlp")(
@@ -276,8 +276,11 @@ class Decoder(nn.Module):
                  write_start: Optional[jax.Array] = None,
                  kv_len: Optional[jax.Array] = None,
                  causal: bool = True,
+                 prefix_len: Optional[jax.Array] = None,
                  logits_index: Optional[jax.Array] = None):
-        """``logits_index`` [B]: compute logits only at these positions
+        """``prefix_len`` [B]: prefix-LM masking — the first prefix_len
+        positions attend bidirectionally, the rest causally.
+        ``logits_index`` [B]: compute logits only at these positions
         ([B, 1, V]). Essential for prefill: full-sequence logits over a
         250k-vocab decoder would materialize ~10 GB at batch 24."""
         cfg = self.cfg
@@ -302,7 +305,7 @@ class Decoder(nn.Module):
             if cache is not None:
                 cache_kv = (cache["k"][i], cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
-                               write_start, kv_len, causal)
+                               write_start, kv_len, causal, prefix_len)
             if cache is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])

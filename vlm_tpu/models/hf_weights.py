@@ -49,6 +49,13 @@ def _set(tree: Dict, path: str, value, expect_shape=True):
     node = tree
     for k in keys[:-1]:
         node = node[k]
+
+    if keys[-1] == "kernel" and "kernel" not in node and "q_kernel" in node:
+        # Quantized Dense (8bit/4bit modes): quantize the fp checkpoint
+        # kernel into the layer's (q_kernel, scale) params.
+        _set_quantized(node, path, value)
+        return
+
     old = node[keys[-1]]
     boxed = isinstance(old, nn.Partitioned)
     old_arr = old.unbox() if boxed else old
@@ -58,6 +65,41 @@ def _set(tree: Dict, path: str, value, expect_shape=True):
             f"vs checkpoint {tuple(value.shape)}")
     new = jnp.asarray(value, dtype=old_arr.dtype)
     node[keys[-1]] = old.replace_boxed(new) if boxed else new
+
+
+def _set_quantized(node: Dict, path: str, value):
+    """Write an fp [in, out] kernel into a quantized Dense's
+    (q_kernel, scale); the scheme (int8 vs grouped int4) is recovered from
+    the existing param shapes."""
+    import flax.linen as nn
+
+    from ..ops.quant import quantize_int4, quantize_int8
+
+    def unboxed(x):
+        return x.unbox() if isinstance(x, nn.Partitioned) else x
+
+    q_old = unboxed(node["q_kernel"])
+    s_old = unboxed(node["scale"])
+    in_dim, out_dim = value.shape
+    if q_old.shape[0] == in_dim:            # int8: q [in, out], scale [1, out]
+        qw = quantize_int8(jnp.asarray(value, jnp.float32))
+    else:                                   # int4: q [in/2, out], grouped scale
+        group = in_dim // s_old.shape[0]
+        qw = quantize_int4(jnp.asarray(value, jnp.float32), group_size=group)
+    if tuple(qw.q.shape) != tuple(q_old.shape) or \
+            tuple(qw.scale.shape) != tuple(s_old.shape):
+        raise ValueError(
+            f"quantized shape mismatch at {path}: "
+            f"q {tuple(qw.q.shape)} vs {tuple(q_old.shape)}, "
+            f"scale {tuple(qw.scale.shape)} vs {tuple(s_old.shape)}")
+
+    def rebox(old, new):
+        return old.replace_boxed(new) if isinstance(old, nn.Partitioned) \
+            else new
+
+    node["q_kernel"] = rebox(node["q_kernel"], qw.q)
+    node["scale"] = rebox(node["scale"],
+                          jnp.asarray(qw.scale, s_old.dtype))
 
 
 def convert_clip_vision(hf: Dict[str, np.ndarray], vision_tree: Dict,

@@ -89,13 +89,26 @@ class VLMModule(nn.Module):
 
     def __call__(self, pixels: jax.Array, pre_ids: jax.Array,
                  post_ids: jax.Array,
-                 kv_len: Optional[jax.Array] = None):
+                 kv_len: Optional[jax.Array] = None,
+                 prefix_len: Optional[jax.Array] = None):
         """Full forward (no cache): logits [B, S, V]. Used by training paths,
-        compile checks, and scoring."""
+        compile checks, and scoring.
+
+        Prefix-LM families: with ``prefix_len`` given, the first prefix_len
+        positions attend bidirectionally and the rest causally; without it
+        the whole input is treated as prefix (pure prompt scoring)."""
         img = self.encode_images(pixels)
         embeds = self.merge_embeds(pre_ids, img, post_ids)
-        logits, _ = self.decoder(input_embeds=embeds, kv_len=kv_len,
-                                 causal=True)
+        if self.cfg.prefix_lm:
+            if prefix_len is None:
+                logits, _ = self.decoder(input_embeds=embeds, kv_len=kv_len,
+                                         causal=False)
+            else:
+                logits, _ = self.decoder(input_embeds=embeds, kv_len=kv_len,
+                                         causal=True, prefix_len=prefix_len)
+        else:
+            logits, _ = self.decoder(input_embeds=embeds, kv_len=kv_len,
+                                     causal=True)
         return logits
 
     def prefill(self, pixels: jax.Array, pre_ids: jax.Array,
@@ -116,9 +129,14 @@ class VLMModule(nn.Module):
         # logits only at each sequence's final real token — full-sequence
         # logits would be [B, S, vocab] (≈10 GB at batch 24 on Gemma's
         # 257k vocab).
+        # Prefix-LM families (PaliGemma) attend bidirectionally over the
+        # whole image+prompt prefix; causal families mask normally. Decode
+        # steps are causal for both (each new token sees everything before
+        # it via kv_len).
         logits, cache = self.decoder(
             input_embeds=embeds, positions=positions, cache=cache,
-            write_start=write_start, kv_len=prompt_len, causal=True,
+            write_start=write_start, kv_len=prompt_len,
+            causal=not self.cfg.prefix_lm,
             logits_index=prompt_len - 1)
         return logits[:, 0], cache
 

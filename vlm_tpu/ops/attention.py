@@ -33,7 +33,8 @@ PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
 
 def _xla_attention(q, k, v, *, causal: bool, scale: float,
                    kv_len: Optional[jax.Array] = None,
-                   bias: Optional[jax.Array] = None) -> jax.Array:
+                   bias: Optional[jax.Array] = None,
+                   prefix_len: Optional[jax.Array] = None) -> jax.Array:
     """Reference attention. q: [B, H, Sq, D]; k/v: [B, KV, Sk, D] where
     KV divides H (grouped-query attention contracts against the shared KV
     heads directly — never materializes a repeated cache, which matters for
@@ -53,7 +54,13 @@ def _xla_attention(q, k, v, *, causal: bool, scale: float,
         offset = sk - sq
         qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-        s = jnp.where((ki <= qi + offset)[None, None, None], s, NEG_INF)
+        allowed = (ki <= qi + offset)[None, None, None]
+        if prefix_len is not None:
+            # Prefix-LM: the first prefix_len positions are visible to every
+            # query (bidirectional prefix, causal suffix).
+            in_prefix = ki[None] < prefix_len[:, None, None]
+            allowed = allowed | in_prefix[:, None, None]
+        s = jnp.where(allowed, s, NEG_INF)
     if kv_len is not None:
         ki = jax.lax.broadcasted_iota(jnp.int32, (sk,), 0)
         mask = ki[None, :] < kv_len[:, None]                  # [B, Sk]
@@ -160,6 +167,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False,
               kv_len: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,
+              prefix_len: Optional[jax.Array] = None,
               impl: str = "auto") -> jax.Array:
     """Multi-head attention. ``q``: [B, H, Sq, D]; ``k/v``: [B, KV, Sk, D]
     with KV dividing H (grouped/multi-query attention handled natively —
@@ -175,13 +183,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        use_flash = (on_tpu and bias is None
+        use_flash = (on_tpu and bias is None and prefix_len is None
                      and q.shape[-1] in (64, 128, 256))
         impl = "flash" if use_flash else "xla"
     if impl == "flash":
-        if bias is not None:
-            raise ValueError("flash impl does not support additive bias")
+        if bias is not None or prefix_len is not None:
+            raise ValueError(
+                "flash impl does not support additive bias / prefix masks")
         return _flash_attention(q, k, v, kv_len, causal=causal,
                                 heads=q.shape[1])
     return _xla_attention(q, k, v, causal=causal, scale=scale,
-                          kv_len=kv_len, bias=bias)
+                          kv_len=kv_len, bias=bias, prefix_len=prefix_len)

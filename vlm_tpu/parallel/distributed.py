@@ -27,9 +27,15 @@ import jax
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Initialize the JAX distributed runtime (no-op if single-process or
-    already initialized). On Cloud TPU all arguments auto-discover."""
-    if jax.process_count() > 1:
+    """Initialize the JAX distributed runtime (no-op if already
+    initialized). On Cloud TPU all arguments auto-discover.
+
+    Must run before anything touches a JAX backend — probing the backend
+    first (e.g. ``jax.process_count()``) would initialize it locally and
+    make distributed init impossible, so this only inspects the
+    distributed-client state."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -37,7 +43,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except (RuntimeError, ValueError) as e:
-        # Single-process environments (tests, one-chip dev) land here.
+        # Explicit multi-process requests must not fall back silently.
         if num_processes not in (None, 1):
             raise
         print(f"[distributed] single-process mode ({e})")

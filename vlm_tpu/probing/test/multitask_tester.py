@@ -24,9 +24,9 @@ class MultiTaskTester(BaseTester):
     def __init__(self, cfg: dict):
         super().__init__(cfg)
         self.ckpt_from = Path(cfg["eval"]["ckpt_from"])
-        root = os.getenv("VLM_TPU_ROOT") or os.getenv("PYTHONPATH")
-        if root and not self.ckpt_from.is_absolute():
-            self.ckpt_from = Path(root) / self.ckpt_from
+        from ...core.config import project_root
+        if not self.ckpt_from.is_absolute():
+            self.ckpt_from = project_root() / self.ckpt_from
         self.ckpt_from = self.ckpt_from.resolve()
         self.head_cfg = self._load_head_config(self.ckpt_from)
 
@@ -113,8 +113,8 @@ class MultiTaskTester(BaseTester):
         return np.asarray(out.argmax(axis=1)).tolist()
 
     def build_eval_dir(self, task: str, dataset_name: str) -> str:
-        root = os.getenv("VLM_TPU_ROOT") or os.getenv("PYTHONPATH") or "."
-        base = Path(root, "probing", "multitask_probing", "eval",
+        from ...core.config import project_root
+        base = Path(project_root(), "probing", "multitask_probing", "eval",
                     self.run_name)
         return str(base / task / dataset_name)
 

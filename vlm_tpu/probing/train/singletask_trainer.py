@@ -105,10 +105,14 @@ class SingleTaskTrainer(BaseTrainer):
 
         if self.use_feature_cache:
             mcfg = self.cfg["model"]
+            # Reference cache path scheme (singletask_trainer.py:119-121);
+            # non-default model sizes get their own cache dir so a "test"
+            # run can never poison a full-size run with wrong-dim features.
+            size_tag = f"_{mcfg['size']}" if mcfg.get("size") else ""
             self.features_dir = (project_root() / "probing" /
                                  "linear_probing" / "features" /
                                  f"{mcfg['name']}_{mcfg.get('quantization')}_"
-                                 f"{self.task}")
+                                 f"{self.task}{size_tag}")
             self.features_dir.mkdir(parents=True, exist_ok=True)
             xtr, ytr = self._ensure_features(train_ds, "train")
             xva, yva = self._ensure_features(val_ds, "val")
@@ -133,9 +137,34 @@ class SingleTaskTrainer(BaseTrainer):
             if x_key is None or y_key is None:
                 raise KeyError(
                     f"Unrecognized feature cache keys: {list(blob.keys())}")
-            return blob[x_key], blob[y_key].astype(np.int64)
-        feats = self.probe.backbone.extract_features_dataset(
-            img_ds.image_paths())
+            feats = blob[x_key]
+            if feats.shape[-1] != self.probe.backbone.output_dim:
+                raise ValueError(
+                    f"stale feature cache {fpath}: dim {feats.shape[-1]} != "
+                    f"backbone dim {self.probe.backbone.output_dim} — "
+                    f"delete it to re-extract")
+            return feats, blob[y_key].astype(np.int64)
+        has_transform = any(getattr(d, "transform", None) is not None
+                            for d in getattr(img_ds, "datasets", [img_ds]))
+        if has_transform:
+            # Augmented datasets must extract through __getitem__ so the
+            # (one-shot) transform is baked into the cached features, like
+            # the reference's DataLoader-based extraction
+            # (singletask_trainer.py:252-270).
+            feats_list = []
+            bs = self.probe.backbone.batch_size
+            for start in range(0, len(img_ds), bs):
+                images = [img_ds[i][0]
+                          for i in range(start, min(start + bs, len(img_ds)))]
+                n = len(images)
+                if n < bs:
+                    images = images + [images[-1]] * (bs - n)
+                feats_list.append(np.asarray(
+                    self.probe.backbone.forward(images)[:n], np.float32))
+            feats = np.concatenate(feats_list, axis=0)
+        else:
+            feats = self.probe.backbone.extract_features_dataset(
+                img_ds.image_paths())
         ys = targets_to_arrays(img_ds.labels_list(), [self.task])[self.task]
         np.savez(fpath, x=feats, y=ys)
         return feats, ys
