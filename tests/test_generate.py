@@ -132,3 +132,52 @@ class TestContinuousBatcher:
                           post_ids_row=np.ones((1,), np.int32),
                           prompt_len_scalar=1 + t, n_images=2)
         assert len(out) == 2 and all(len(o) <= 3 for o in out)
+
+
+class TestSampling:
+    def test_greedy_is_argmax(self):
+        import jax
+        from vlm_tpu.generate.decode import _sample
+        logits = jnp.asarray([[1.0, 5.0, 2.0]])
+        tok = _sample(logits, 0.0, jax.random.key(0), jnp.asarray(0))
+        assert int(tok[0]) == 1
+
+    def test_top_k_restricts_support(self):
+        import jax
+        from vlm_tpu.generate.decode import _sample
+        logits = jnp.asarray([[0.0, 10.0, 9.0, -5.0]])
+        toks = {int(_sample(logits, 1.0, jax.random.key(s), jnp.asarray(s),
+                            2, 1.0)[0]) for s in range(50)}
+        assert toks <= {1, 2}
+
+    def test_top_p_restricts_support(self):
+        import jax
+        from vlm_tpu.generate.decode import _sample
+        logits = jnp.asarray([[0.0, 10.0, 1.0, 0.5]])
+        toks = {int(_sample(logits, 1.0, jax.random.key(s), jnp.asarray(s),
+                            0, 0.5)[0]) for s in range(50)}
+        assert toks == {1}
+
+    def test_temperature_sampling_engine(self):
+        import jax
+        from vlm_tpu.generate.decode import GenerationEngine
+        from vlm_tpu.models.configs import paligemma_config
+        from vlm_tpu.models.vlm import init_vlm, num_image_tokens
+        cfg = paligemma_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        t = num_image_tokens(cfg)
+        engine = GenerationEngine(module, cfg, batch_size=2,
+                                  max_prompt_len=2 + t, max_new_tokens=4,
+                                  temperature=1.0, top_k=50,
+                                  cache_dtype=jnp.float32)
+        px = _pixels(cfg, 2, seed=9)
+        res1 = engine.generate(params, px, jnp.zeros((2, 0), jnp.int32),
+                               jnp.ones((2, 2), jnp.int32),
+                               jnp.full((2,), 2 + t, jnp.int32),
+                               rng=jax.random.key(1))
+        res2 = engine.generate(params, px, jnp.zeros((2, 0), jnp.int32),
+                               jnp.ones((2, 2), jnp.int32),
+                               jnp.full((2,), 2 + t, jnp.int32),
+                               rng=jax.random.key(2))
+        assert res1.tokens.shape == (2, 4)
+        # different rng keys explore different continuations (overwhelmingly)

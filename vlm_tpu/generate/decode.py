@@ -38,12 +38,26 @@ class GenerationResult:
 
 
 def _sample(logits: jax.Array, temperature: float, rng: Optional[jax.Array],
-            step: jax.Array) -> jax.Array:
+            step: jax.Array, top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+    """Greedy (temperature<=0), else temperature sampling with optional
+    top-k and/or nucleus (top-p) filtering. All static-shape under jit."""
     if temperature <= 0.0 or rng is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Smallest logit still inside the nucleus; everything below is cut.
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     key = jax.random.fold_in(rng, step)
-    return jax.random.categorical(
-        key, logits / temperature, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 class GenerationEngine:
@@ -62,6 +76,8 @@ class GenerationEngine:
                  batch_size: int, max_prompt_len: int,
                  max_new_tokens: int = 100,
                  temperature: float = 0.0,
+                 top_k: int = 0,
+                 top_p: float = 1.0,
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
                  pad_id: Optional[int] = None):
@@ -70,6 +86,8 @@ class GenerationEngine:
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
         self.cache_len = max_prompt_len + max_new_tokens
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
@@ -90,7 +108,7 @@ class GenerationEngine:
         b = pixels.shape[0]
 
         tok0 = _sample(last_logits, self.temperature, rng,
-                       jnp.asarray(0, jnp.int32))
+                       jnp.asarray(0, jnp.int32), self.top_k, self.top_p)
         tokens = jnp.full((b, max_new), self.pad_id, jnp.int32)
         tokens = tokens.at[:, 0].set(tok0)
         done = tok0 == self.eos_id
@@ -105,7 +123,8 @@ class GenerationEngine:
             pos = prompt_len + step - 1           # position of `cur`
             logits, cache = mod.apply(params, cur[:, None], pos, cache,
                                       method="decode_step")
-            nxt = _sample(logits, self.temperature, rng, step)
+            nxt = _sample(logits, self.temperature, rng, step,
+                          self.top_k, self.top_p)
             nxt = jnp.where(done, self.pad_id, nxt)
             tokens = tokens.at[:, step].set(
                 jnp.where(done, self.pad_id, nxt))
