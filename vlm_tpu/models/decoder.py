@@ -298,19 +298,21 @@ class Decoder(nn.Module):
         elif cfg.pos == "learned":
             x = x + self.pos_embed(positions + 2).astype(self.dtype)
 
-        new_cache = None
-        new_k, new_v = [], []
+        # Functionally update the stacked cache layer-by-layer with a STATIC
+        # index: XLA aliases `.at[i].set` in place (with buffer donation),
+        # so peak HBM holds ONE cache — collecting per-layer tensors and
+        # jnp.stack-ing at the end held every updated layer alongside the
+        # original cache (OOM'd LLaVA-7B on one v5e chip).
+        new_cache = cache
         for i, block in enumerate(self.blocks):
             cache_kv = None
-            if cache is not None:
-                cache_kv = (cache["k"][i], cache["v"][i])
+            if new_cache is not None:
+                cache_kv = (new_cache["k"][i], new_cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
                                write_start, kv_len, causal, prefix_len)
-            if cache is not None:
-                new_k.append(updated[0])
-                new_v.append(updated[1])
-        if cache is not None:
-            new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+            if new_cache is not None:
+                new_cache = {"k": new_cache["k"].at[i].set(updated[0]),
+                             "v": new_cache["v"].at[i].set(updated[1])}
 
         if cfg.final_norm:
             x = self.final_norm(x)

@@ -125,11 +125,13 @@ class Dense(nn.Module):
             if self.quant_bits == 8 and x2.shape[0] >= 128:
                 # Compute-bound regime (prefill): llm.int8-style dynamic
                 # activation quantization → int8×int8 MXU (2x bf16 peak).
+                # Emit compute dtype: fp32 outputs doubled activation temps
+                # and tipped 7B prefill over HBM capacity.
                 from ..ops.quant import quant_matmul_dynamic
-                y = quant_matmul_dynamic(x2, qw, out_dtype=jnp.float32)
+                y = quant_matmul_dynamic(x2, qw, out_dtype=self.dtype)
             else:
                 # Bandwidth-bound regime (decode): bf16 dequant matmul.
-                y = quant_matmul(x2, qw, out_dtype=jnp.float32)
+                y = quant_matmul(x2, qw, out_dtype=self.dtype)
             y = y.reshape(*x.shape[:-1], self.features)
         else:
             kernel = self.param(
