@@ -7,13 +7,14 @@ Replaces the HF decode internals the reference drives through
 TPU-first and fully functional:
 
 - the KV cache is an explicit pytree input/output (no mutable module state),
-  laid out ``[B, kv_heads, max_len, head_dim]`` per layer so decode-step
-  attention is a batched matmul over a static-shape cache;
+  laid out length-major ``[B, max_len, kv_heads, head_dim]`` per layer — the
+  layout XLA prefers for decode reads, so donated caches update in place;
 - prompts are **left-aligned** with per-sequence ``kv_len``; padding is
   masked, so batched prefill + slot-based continuous batching need no
   re-tokenization (SURVEY.md §7 "Continuous batching");
-- per-slot cache writes use vmapped ``dynamic_update_slice`` — jit-static
-  shapes everywhere, no data-dependent Python control flow.
+- per-slot cache writes are vectorized masked selects over the length axis
+  (TPU scatters serialize) — jit-static shapes everywhere, no
+  data-dependent Python control flow.
 
 Variant knobs: RMSNorm vs LayerNorm, Gemma's ``(1+w)`` norm and
 ``sqrt(hidden)`` embedding scale, gated-SiLU vs plain-ReLU MLP, RoPE vs OPT's
@@ -62,14 +63,20 @@ def apply_rope(x: jax.Array, positions: jax.Array, cos: jax.Array,
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
-    """Slot-based cache: per layer ``k``/``v`` of [B, kv_heads, max_len, D]."""
-    shape = (cfg.layers, batch, cfg.kv_heads, max_len, cfg.head_dim)
+    """Slot-based cache: per layer ``k``/``v`` of [B, max_len, kv_heads, D].
+
+    Length-major (not head-major) layout: it is the layout XLA prefers for
+    the decode attention reads, so loop-carried caches keep the donated
+    input's layout — head-major caches made XLA insert full-cache layout
+    copies per call (2.4 GB per step for a 7B model) and broke donation.
+    """
+    shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def _write_cache(cache_layer: jax.Array, new: jax.Array,
                  start: jax.Array) -> jax.Array:
-    """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, H, max, D] at
+    """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, max, H, D] at
     per-sequence offsets ``start`` [B].
 
     Implemented as a vectorized masked select over the length axis rather
@@ -78,17 +85,18 @@ def _write_cache(cache_layer: jax.Array, new: jax.Array,
     the masked write streams the cache layer once at full HBM bandwidth.
     """
     b, h, s, d = new.shape
-    max_len = cache_layer.shape[2]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, max_len, 1), 2)
-    rel = pos - start[:, None, None, None]            # [B,1,max,1]
+    max_len = cache_layer.shape[1]
+    new = new.transpose(0, 2, 1, 3)                   # [B, S, H, D]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len, 1, 1), 1)
+    rel = pos - start[:, None, None, None]            # [B,max,1,1]
     in_window = (rel >= 0) & (rel < s)
     if s == 1:
-        update = jnp.broadcast_to(new, (b, h, max_len, d))
+        update = jnp.broadcast_to(new, (b, max_len, h, d))
     else:
         # Gather each cache slot's source row from `new` (clip keeps the
         # gather in-bounds; out-of-window slots are masked off anyway).
-        idx = jnp.clip(rel[:, 0, :, 0], 0, s - 1)     # [B, max]
-        update = jnp.take_along_axis(new, idx[:, None, :, None], axis=2)
+        idx = jnp.clip(rel[:, :, 0, 0], 0, s - 1)     # [B, max]
+        update = jnp.take_along_axis(new, idx[:, :, None, None], axis=1)
     return jnp.where(in_window, update, cache_layer)
 
 
@@ -122,14 +130,17 @@ class DecoderAttention(nn.Module):
             k = apply_rope(k, positions, cos, sin)
 
         new_cache = None
+        kv_layout = "bhsd"
         if cache_kv is not None:
-            ck, cv = cache_kv                      # [B, kvH, max, D]
+            ck, cv = cache_kv                      # [B, max, kvH, D]
             ck = _write_cache(ck, k.astype(ck.dtype), write_start)
             cv = _write_cache(cv, v.astype(cv.dtype), write_start)
             new_cache = (ck, cv)
             if s == 1:
-                # decode step: attend over the cache, masked by kv_len
+                # decode step: attend over the cache (in its native
+                # length-major layout), masked by kv_len
                 k_att, v_att = ck, cv
+                kv_layout = "bshd"
                 att_causal = False
                 att_kv_len = kv_len
             else:
@@ -151,6 +162,7 @@ class DecoderAttention(nn.Module):
         o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
                       v_att.astype(self.dtype), causal=att_causal,
                       kv_len=att_kv_len, prefix_len=prefix_len,
+                      kv_layout=kv_layout,
                       impl="xla" if s == 1 else self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)

@@ -34,16 +34,23 @@ PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
 def _xla_attention(q, k, v, *, causal: bool, scale: float,
                    kv_len: Optional[jax.Array] = None,
                    bias: Optional[jax.Array] = None,
-                   prefix_len: Optional[jax.Array] = None) -> jax.Array:
-    """Reference attention. q: [B, H, Sq, D]; k/v: [B, KV, Sk, D] where
-    KV divides H (grouped-query attention contracts against the shared KV
-    heads directly — never materializes a repeated cache, which matters for
-    MQA decode where a repeat would 8× the HBM cache traffic)."""
+                   prefix_len: Optional[jax.Array] = None,
+                   kv_layout: str = "bhsd") -> jax.Array:
+    """Reference attention. q: [B, H, Sq, D]; k/v: [B, KV, Sk, D]
+    (``kv_layout="bhsd"``) or [B, Sk, KV, D] (``"bshd"`` — the KV cache's
+    native layout, contracted in place so decode never transposes the
+    cache). KV divides H: grouped-query attention contracts against the
+    shared KV heads directly — never materializes a repeated cache, which
+    matters for MQA decode where a repeat would 8× the HBM traffic."""
     b, h, sq, d = q.shape
-    kvh, sk = k.shape[1], k.shape[2]
+    if kv_layout == "bshd":
+        kvh, sk = k.shape[2], k.shape[1]
+    else:
+        kvh, sk = k.shape[1], k.shape[2]
     g = h // kvh
     qg = q.reshape(b, kvh, g, sq, d)
-    s = jnp.einsum("bngqd,bnkd->bngqk", qg, k,
+    k_eq = "bknd" if kv_layout == "bshd" else "bnkd"
+    s = jnp.einsum(f"bngqd,{k_eq}->bngqk", qg, k,
                    preferred_element_type=jnp.float32) * scale
     if bias is not None:
         s = s + jnp.broadcast_to(bias, (b, h, sq, sk)).reshape(
@@ -66,7 +73,7 @@ def _xla_attention(q, k, v, *, causal: bool, scale: float,
         mask = ki[None, :] < kv_len[:, None]                  # [B, Sk]
         s = jnp.where(mask[:, None, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bngqk,bnkd->bngqd", p, v)
+    out = jnp.einsum(f"bngqk,{k_eq}->bngqd", p, v)
     return out.reshape(b, h, sq, d)
 
 
@@ -168,6 +175,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               kv_len: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,
               prefix_len: Optional[jax.Array] = None,
+              kv_layout: str = "bhsd",
               impl: str = "auto") -> jax.Array:
     """Multi-head attention. ``q``: [B, H, Sq, D]; ``k/v``: [B, KV, Sk, D]
     with KV dividing H (grouped/multi-query attention handled natively —
@@ -184,13 +192,17 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         use_flash = (on_tpu and bias is None and prefix_len is None
+                     and kv_layout == "bhsd"
                      and q.shape[-1] in (64, 128, 256))
         impl = "flash" if use_flash else "xla"
     if impl == "flash":
-        if bias is not None or prefix_len is not None:
+        if bias is not None or prefix_len is not None or \
+                kv_layout != "bhsd":
             raise ValueError(
-                "flash impl does not support additive bias / prefix masks")
+                "flash impl does not support additive bias / prefix masks / "
+                "bshd kv layout")
         return _flash_attention(q, k, v, kv_len, causal=causal,
                                 heads=q.shape[1])
     return _xla_attention(q, k, v, causal=causal, scale=scale,
-                          kv_len=kv_len, bias=bias, prefix_len=prefix_len)
+                          kv_len=kv_len, bias=bias, prefix_len=prefix_len,
+                          kv_layout=kv_layout)
