@@ -92,7 +92,7 @@ class GenerationEngine:
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
-        self._generate = jax.jit(self._generate_impl, donate_argnums=(5,))
+        self._generate = jax.jit(self._generate_impl)
 
     def new_cache(self) -> Dict[str, jax.Array]:
         return init_kv_cache(self.cfg.decoder, self.batch_size,
@@ -100,8 +100,13 @@ class GenerationEngine:
 
     # ------------------------------------------------------------------
     def _generate_impl(self, params, pixels, pre_ids, post_ids, prompt_len,
-                       cache, rng):
+                       rng):
         mod = self.module
+        # The cache is allocated INSIDE the jit: passing it as an argument
+        # can never alias (it is not an output), which forced XLA to keep
+        # the argument buffer alive AND copy it into the loop carry —
+        # 2x cache HBM (2.4 GB wasted on a 7B model).
+        cache = self.new_cache()
         last_logits, cache = mod.apply(params, pixels, pre_ids, post_ids,
                                        cache, prompt_len, method="prefill")
         max_new = self.max_new_tokens
@@ -145,11 +150,10 @@ class GenerationEngine:
         """Batched generation. ``pixels`` [B,H,W,3] normalized; ``pre_ids``/
         ``post_ids`` [B, P] left-aligned (pad with pad_id); ``prompt_len``
         [B] true merged lengths."""
-        cache = self.new_cache()
         if rng is None:
             rng = jax.random.key(0)
         tokens, lengths = self._generate(params, pixels, pre_ids, post_ids,
-                                         prompt_len, cache, rng)
+                                         prompt_len, rng)
         return GenerationResult(tokens=tokens, lengths=lengths)
 
 
