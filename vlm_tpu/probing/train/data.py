@@ -20,12 +20,14 @@ import numpy as np
 
 class ImageBatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 sampler=None, seed: int = 0, drop_last: bool = False):
+                 sampler=None, seed: int = 0, drop_last: bool = False,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sampler = sampler
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def _order(self):
@@ -35,19 +37,29 @@ class ImageBatchLoader:
             return self._rng.permutation(len(self.dataset)).tolist()
         return list(range(len(self.dataset)))
 
+    def _load(self, idxs) -> Tuple[list, list]:
+        images, targets = [], []
+        for i in idxs:
+            img, tgt = self.dataset[i]
+            images.append(img)
+            targets.append(tgt)
+        return images, targets
+
     def __iter__(self) -> Iterator[Tuple[list, list]]:
         order = self._order()
         bs = self.batch_size
-        for start in range(0, len(order), bs):
-            idxs = order[start:start + bs]
-            if self.drop_last and len(idxs) < bs:
-                break
-            images, targets = [], []
-            for i in idxs:
-                img, tgt = self.dataset[i]
-                images.append(img)
-                targets.append(tgt)
-            yield images, targets
+        chunks = [order[s:s + bs] for s in range(0, len(order), bs)]
+        if self.drop_last and chunks and len(chunks[-1]) < bs:
+            chunks.pop()
+        if self.prefetch > 0:
+            # Host PIL decode for batch i+1 overlaps the device step for
+            # batch i (the DataLoader-workers analogue).
+            from ...data.pipeline import prefetch_batches
+            yield from prefetch_batches(chunks, self._load,
+                                        depth=self.prefetch)
+        else:
+            for idxs in chunks:
+                yield self._load(idxs)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else \
