@@ -167,12 +167,16 @@ def quant_matmul_dynamic(x: jax.Array, qw: QuantizedWeight, *,
     out_dtype = out_dtype or x.dtype
     qx, sx = quantize_activations(x)
     if use_pallas is None:
-        use_pallas = (jax.devices()[0].platform == "tpu"
-                      and x.ndim == 2 and x.shape[1] <= 8192)
+        use_pallas = (jax.devices()[0].platform == "tpu" and x.ndim == 2)
     if use_pallas:
-        return _int8xint8_matmul_pallas(qx, sx, qw.q, qw.scale,
-                                        out_dtype=jnp.float32
-                                        ).astype(out_dtype)
+        # Shrink tiles for wide contractions so the double-buffered int8
+        # operand tiles stay inside the ~16 MB VMEM budget.
+        wide = x.shape[1] > 8192
+        return _int8xint8_matmul_pallas(
+            qx, sx, qw.q, qw.scale,
+            block_m=128 if wide else 256,
+            block_n=256 if wide else 512,
+            out_dtype=jnp.float32).astype(out_dtype)
     acc = jax.lax.dot_general(qx.astype(jnp.int32), qw.q.astype(jnp.int32),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
