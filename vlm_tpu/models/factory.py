@@ -43,3 +43,11 @@ class VLMModelFactory:
     @staticmethod
     def get_available_models():
         return list(VLMModelFactory._registry.keys())
+
+
+if __name__ == "__main__":
+    # Smoke check, mirroring the reference's __main__ block
+    # (model_factory.py:53-58) — tiny variant, no weights needed.
+    print("Available models:", VLMModelFactory.get_available_models())
+    model = VLMModelFactory.create_model("blip2", size="test")
+    print("blip2 test-variant instantiated:", type(model).__name__)
