@@ -122,18 +122,17 @@ class Dense(nn.Module):
                                  scale=jax.lax.stop_gradient(scale),
                                  group_size=gs)
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
-            if self.quant_bits == 8:
-                # llm.int8 scheme for every shape: dynamic per-row int8
-                # activations × int8 weights on the MXU. Weights never
-                # dequantize — in decode steps, per-step dequantization of
-                # the full weight set dominated the step (measured 180 ms/
-                # step on a 7B model); in prefill int8×int8 doubles MXU
-                # throughput. Outputs in compute dtype (fp32 outputs doubled
-                # activation temps and tipped 7B prefill over HBM capacity).
+            if self.quant_bits == 8 and x2.shape[0] >= 128:
+                # Compute-bound regime (prefill): llm.int8-style dynamic
+                # activation quantization → int8×int8 MXU (2x bf16 peak).
+                # Measured on v5e: the dynamic path LOSES in decode-size
+                # shapes (48.9 → 34.1 img/s device-only on 3B), so decode
+                # keeps the bf16-dequant kernel below.
                 from ..ops.quant import quant_matmul_dynamic
                 y = quant_matmul_dynamic(x2, qw, out_dtype=self.dtype)
             else:
-                # int4: bf16 dequant matmul (no int4 MXU datapath).
+                # Bandwidth-bound regime (decode) and int4: in-VMEM dequant
+                # to bf16 feeding the MXU.
                 y = quant_matmul(x2, qw, out_dtype=self.dtype)
             y = y.reshape(*x.shape[:-1], self.features)
         else:

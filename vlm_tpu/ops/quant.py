@@ -244,14 +244,19 @@ def quant_matmul(x: jax.Array, qw: QuantizedWeight, *,
     out_dtype = out_dtype or x.dtype
     if use_pallas is None:
         # The kernel keeps an [block_m, K] x-tile plus a [K, block_n] weight
-        # tile in VMEM; cap K so both fit comfortably in the ~16 MB budget.
+        # tile in VMEM; shrink the n tile for wide contractions so both fit
+        # the ~16 MB budget.
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and qw.group_size == 0
                       and x.ndim == 2
-                      and x.shape[1] <= 8192)
+                      and x.shape[1] <= 16384)
     if use_pallas and qw.group_size == 0:
-        return _int8_matmul_pallas(x, qw.q, qw.scale,
-                                   out_dtype=jnp.float32).astype(out_dtype)
+        wide = x.shape[1] > 8192
+        return _int8_matmul_pallas(
+            x, qw.q, qw.scale,
+            block_m=128 if wide else 256,
+            block_n=128 if wide else 512,
+            out_dtype=jnp.float32).astype(out_dtype)
     w = dequantize(qw, dtype=jnp.bfloat16 if out_dtype == jnp.bfloat16
                    else jnp.float32)
     y = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
