@@ -78,18 +78,20 @@ class ContinuousBatcher:
             params, pixels, pre_ids, post_ids, group_cache, prompt_len,
             method="prefill")
 
-        def scatter(full, part):
-            # full: [L, B, H, S, D]; part: [L, g, H, S, D]
-            def one(full_l, part_l):
-                def write(i, acc):
-                    sl = jax.lax.dynamic_slice_in_dim(part_l, i, 1, axis=0)
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        acc, sl, slots[i], axis=0)
-                return jax.lax.fori_loop(0, g, write, full_l)
-            return jax.vmap(one)(full, part)
+        def scatter_layer(full_l, part_l):
+            # full_l: [B, S, H, D]; part_l: [g, S, H, D]
+            def write(i, acc):
+                sl = jax.lax.dynamic_slice_in_dim(part_l, i, 1, axis=0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, sl, slots[i], axis=0)
+            return jax.lax.fori_loop(0, g, write, full_l)
 
-        cache = {"k": scatter(cache["k"], group_cache["k"]),
-                 "v": scatter(cache["v"], group_cache["v"])}
+        cache = {
+            "k": tuple(scatter_layer(f, p)
+                       for f, p in zip(cache["k"], group_cache["k"])),
+            "v": tuple(scatter_layer(f, p)
+                       for f, p in zip(cache["v"], group_cache["v"])),
+        }
         first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
         return first_tok, cache
 

@@ -62,16 +62,24 @@ def apply_rope(x: jax.Array, positions: jax.Array, cos: jax.Array,
 # ------------------------- KV cache -------------------------
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
-    """Slot-based cache: per layer ``k``/``v`` of [B, max_len, kv_heads, D].
+                  dtype=jnp.bfloat16) -> Dict[str, tuple]:
+    """Slot-based cache: per-layer tuples of ``k``/``v``
+    [B, max_len, kv_heads, D] arrays.
 
-    Length-major (not head-major) layout: it is the layout XLA prefers for
-    the decode attention reads, so loop-carried caches keep the donated
-    input's layout — head-major caches made XLA insert full-cache layout
-    copies per call (2.4 GB per step for a 7B model) and broke donation.
+    Two deliberate layout choices, both measured on v5e:
+
+    - *length-major* per-layer arrays — the layout XLA prefers for decode
+      attention reads (head-major caches made XLA insert full-cache layout
+      copies per step: 2.4 GB on a 7B model);
+    - a *tuple of per-layer buffers* instead of one stacked [L, ...] array —
+      layer i's read/write then only touches its own buffer, so there are
+      no false cross-layer dependencies and every buffer aliases in place
+      independently (stacked caches forced either a full-cache copy per
+      step or serialized ``.at[i].set`` chains).
     """
-    shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {"k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.layers)),
+            "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.layers))}
 
 
 def _write_cache(cache_layer: jax.Array, new: jax.Array,
@@ -310,21 +318,20 @@ class Decoder(nn.Module):
         elif cfg.pos == "learned":
             x = x + self.pos_embed(positions + 2).astype(self.dtype)
 
-        # Functionally update the stacked cache layer-by-layer with a STATIC
-        # index: XLA aliases `.at[i].set` in place (with buffer donation),
-        # so peak HBM holds ONE cache — collecting per-layer tensors and
-        # jnp.stack-ing at the end held every updated layer alongside the
-        # original cache (OOM'd LLaVA-7B on one v5e chip).
-        new_cache = cache
+        # Per-layer cache buffers update independently (see init_kv_cache).
+        new_cache = None
+        new_k, new_v = [], []
         for i, block in enumerate(self.blocks):
             cache_kv = None
-            if new_cache is not None:
-                cache_kv = (new_cache["k"][i], new_cache["v"][i])
+            if cache is not None:
+                cache_kv = (cache["k"][i], cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
                                write_start, kv_len, causal, prefix_len)
-            if new_cache is not None:
-                new_cache = {"k": new_cache["k"].at[i].set(updated[0]),
-                             "v": new_cache["v"].at[i].set(updated[1])}
+            if cache is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+        if cache is not None:
+            new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
 
         if cfg.final_norm:
             x = self.final_norm(x)
