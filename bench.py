@@ -50,7 +50,8 @@ def main():
     size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "96"))
-    batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "24"))
+    # Batch 32 measured best on v5e (64 loses to host decode + cache size).
+    batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "32"))
     max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "32"))
     n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "6"))
 
