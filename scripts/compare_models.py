@@ -26,7 +26,6 @@ import csv
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
@@ -50,7 +49,6 @@ def main():
 
     from vlm_tpu.core.config import project_root
     from vlm_tpu.data.dataset_factory import DatasetFactory
-    from vlm_tpu.evaluation import Evaluator
     from vlm_tpu.models.factory import VLMModelFactory
 
     cfg_path = Path(args.config)
@@ -70,58 +68,71 @@ def main():
     out_root.mkdir(parents=True, exist_ok=True)
     rows = []
 
+    def flush():
+        # Incremental writes: a mid-sweep failure or interrupt must not
+        # discard hours of completed combinations.
+        (out_root / "summary.json").write_text(json.dumps(rows, indent=2))
+        fieldnames = sorted({k for r in rows for k in r})
+        with open(out_root / "summary.csv", "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames)
+            writer.writeheader()
+            writer.writerows(rows)
+
+    from vlm_tpu.evaluation import run_zero_shot
+
+    interrupted = False
     for model_name in models:
+        if interrupted:
+            break
         for quant in quants:
+            if interrupted:
+                break
             # One model instance per (model, quant); datasets share it.
             model = VLMModelFactory.create_model(
                 model_name, model_id=cfg.get("model_id"),
                 quantization=quant, size=cfg.get("model_size"))
             for ds_name in datasets:
-                dataset = DatasetFactory.create_dataset(
-                    ds_name, base_path=base_path, split="test",
-                    transform=None)
-                prompt = prompts.get(
-                    ds_name, prompts.get("face_dataset", ""))
-                if not prompt:
-                    raise ValueError(f"no prompt for dataset {ds_name}")
-                n = len(dataset) if args.limit is None else \
-                    min(args.limit, len(dataset))
-                paths = dataset.image_paths()[:n]
-                labels = dataset.labels_list()[:n]
-                print(f"[sweep] {model_name}/{quant}/{ds_name}: {n} images")
-                t0 = time.perf_counter()
-                outputs = model.generate_dataset(
-                    paths, prompt, max_tokens=max_tokens,
-                    batch_size=batch_size)
-                elapsed = time.perf_counter() - t0
-                preds = [dataset.get_labels_from_text_output(o)
-                         for o in outputs if o is not None]
-                gts = [l for o, l in zip(outputs, labels) if o is not None]
-                out_dir = out_root / f"{model_name}_{quant}" / ds_name
-                Evaluator.evaluate(preds, gts, out_dir,
-                                   dataset_name=ds_name)
-                metrics = json.loads(
-                    (out_dir / "metrics.json").read_text())
-                rows.append({
-                    "model": model_name,
-                    "quantization": quant,
-                    "dataset": ds_name,
-                    "images": n,
-                    "images_per_sec": round(n / elapsed, 3),
-                    "average_accuracy": metrics.get("average_accuracy"),
-                    **{f"acc_{k}": v.get("accuracy")
-                       for k, v in metrics.items()
-                       if isinstance(v, dict) and "accuracy" in v},
-                })
+                row = {"model": model_name, "quantization": quant,
+                       "dataset": ds_name}
+                try:
+                    dataset = DatasetFactory.create_dataset(
+                        ds_name, base_path=base_path, split="test",
+                        transform=None)
+                    prompt = prompts.get(
+                        ds_name, prompts.get("face_dataset", ""))
+                    if not prompt:
+                        raise ValueError(f"no prompt for dataset {ds_name}")
+                    print(f"[sweep] {model_name}/{quant}/{ds_name}")
+                    summary = run_zero_shot(
+                        model, dataset, prompt,
+                        out_root / f"{model_name}_{quant}" / ds_name,
+                        max_tokens=max_tokens, batch_size=batch_size,
+                        limit=args.limit)
+                    metrics = summary["metrics"]
+                    row.update({
+                        "images": summary["images_completed"],
+                        "images_per_sec": summary["images_per_sec"],
+                        "partial": summary["partial"],
+                        "average_accuracy": metrics.get("average_accuracy"),
+                        **{f"acc_{k}": v.get("accuracy")
+                           for k, v in metrics.items()
+                           if isinstance(v, dict) and "accuracy" in v},
+                    })
+                    if summary["partial"]:
+                        # generate_dataset swallows KeyboardInterrupt to
+                        # return partial results — stop the sweep too.
+                        interrupted = True
+                except Exception as e:     # noqa: BLE001 — recorded per combo
+                    print(f"[sweep][ERR] {model_name}/{quant}/{ds_name}: {e}")
+                    row["error"] = str(e)
+                rows.append(row)
+                flush()
+                if interrupted:
+                    break
             del model
 
-    (out_root / "summary.json").write_text(json.dumps(rows, indent=2))
-    fieldnames = sorted({k for r in rows for k in r})
-    with open(out_root / "summary.csv", "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=fieldnames)
-        writer.writeheader()
-        writer.writerows(rows)
-    print(f"[sweep] summary written to {out_root}/summary.{{json,csv}}")
+    print(f"[sweep] summary written to {out_root}/summary.{{json,csv}}"
+          + (" (interrupted)" if interrupted else ""))
 
 
 if __name__ == "__main__":

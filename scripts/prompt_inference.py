@@ -86,25 +86,27 @@ def main():
         yaml.safe_dump(cfg, f, sort_keys=False, allow_unicode=True)
 
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
-    labels = dataset.labels_list()[:n]
-    paths = dataset.image_paths()[:n]
-
-    preds, gts = [], []
     meter = ThroughputMeter()
     continuous = bool(cfg.get("continuous_batching", True))
     print(f"Running inference on dataset: {dataset_name} ({n} images, "
           f"batch={batch_size}, continuous={continuous})")
-    try:
-        if continuous:
-            outputs = model.generate_dataset(
-                paths, prompt, max_tokens=max_tokens,
-                batch_size=batch_size, progress=meter.update)
-            for out, label in zip(outputs, labels):
-                if out is None:     # interrupted before this image finished
-                    continue
-                preds.append(dataset.get_labels_from_text_output(out))
-                gts.append(label)
-        else:
+    if continuous:
+        from vlm_tpu.evaluation import run_zero_shot
+        summary = run_zero_shot(model, dataset, prompt, output_dir,
+                                max_tokens=max_tokens,
+                                batch_size=batch_size, limit=args.limit,
+                                progress=meter.update)
+        meter.report("prompt_inference")
+        if summary["partial"]:
+            print(f"Interrupted: evaluated "
+                  f"{summary['images_completed']}/{n} images.")
+        elif summary["images_completed"] == 0:
+            print("Nothing to evaluate.")
+    else:
+        labels = dataset.labels_list()[:n]
+        paths = dataset.image_paths()[:n]
+        preds, gts = [], []
+        try:
             from PIL import Image
             for start in range(0, n, batch_size):
                 chunk_paths = paths[start:start + batch_size]
@@ -118,15 +120,14 @@ def main():
                     preds.append(dataset.get_labels_from_text_output(out))
                     gts.append(label)
                 meter.update(k)
-    except KeyboardInterrupt:
-        print("\nInterrupted. Evaluating partial results...")
-
-    meter.report("prompt_inference")
-    if preds and gts:
-        Evaluator.evaluate(preds, gts, output_dir,
-                           dataset_name=dataset_name)
-    else:
-        print("Nothing to evaluate.")
+        except KeyboardInterrupt:
+            print("\nInterrupted. Evaluating partial results...")
+        meter.report("prompt_inference")
+        if preds and gts:
+            Evaluator.evaluate(preds, gts, output_dir,
+                               dataset_name=dataset_name)
+        else:
+            print("Nothing to evaluate.")
 
 
 if __name__ == "__main__":

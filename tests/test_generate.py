@@ -175,9 +175,11 @@ class TestSampling:
                                jnp.ones((2, 2), jnp.int32),
                                jnp.full((2,), 2 + t, jnp.int32),
                                rng=jax.random.key(1))
-        res2 = engine.generate(params, px, jnp.zeros((2, 0), jnp.int32),
-                               jnp.ones((2, 2), jnp.int32),
-                               jnp.full((2,), 2 + t, jnp.int32),
-                               rng=jax.random.key(2))
+        res1b = engine.generate(params, px, jnp.zeros((2, 0), jnp.int32),
+                                jnp.ones((2, 2), jnp.int32),
+                                jnp.full((2,), 2 + t, jnp.int32),
+                                rng=jax.random.key(1))
         assert res1.tokens.shape == (2, 4)
-        # different rng keys explore different continuations (overwhelmingly)
+        # sampling is deterministic under the same rng key
+        np.testing.assert_array_equal(np.asarray(res1.tokens),
+                                      np.asarray(res1b.tokens))

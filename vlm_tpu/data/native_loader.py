@@ -9,11 +9,12 @@ HF-parity path). Non-JPEG files always take the PIL path.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional, Sequence
+from typing import TYPE_CHECKING, Optional, Sequence
 
 import numpy as np
 
-from ..ops.preprocess import PreprocessRecipe, host_resize
+if TYPE_CHECKING:  # jax-importing module; keep data-layer imports light
+    from ..ops.preprocess import PreprocessRecipe
 
 _lib = None
 _lib_checked = False
@@ -47,10 +48,12 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
-def load_batch(paths: Sequence, recipe: PreprocessRecipe, *,
+def load_batch(paths: Sequence, recipe: "PreprocessRecipe", *,
                threads: int = 4,
                use_native: Optional[bool] = None) -> np.ndarray:
     """Decode + recipe-resize ``paths`` → uint8 [N, S, S, 3]."""
+    from ..ops.preprocess import host_resize
+
     paths = [str(p) for p in paths]
     n = len(paths)
     s = recipe.image_size

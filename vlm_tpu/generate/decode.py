@@ -44,18 +44,25 @@ def _sample(logits: jax.Array, temperature: float, rng: Optional[jax.Array],
     if temperature <= 0.0 or rng is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
-    if top_k and top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Smallest logit still inside the nucleus; everything below is cut.
-        keep = cum - probs < top_p
-        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
-                         axis=-1, keepdims=True)
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    # Rank-based (not value-threshold) filtering: ties at the boundary must
+    # NOT widen the support — with bf16 logits exact ties are common and a
+    # value cutoff can degenerate to full-vocabulary sampling.
+    if (top_k and top_k > 0) or top_p < 1.0:
+        sort_idx = jnp.argsort(logits, axis=-1, descending=True)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        ranks = jax.lax.broadcasted_iota(jnp.int32, sorted_logits.shape,
+                                         sorted_logits.ndim - 1)
+        keep = jnp.ones_like(sorted_logits, dtype=bool)
+        if top_k and top_k > 0:
+            keep &= ranks < top_k
+        if top_p < 1.0:
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep &= (cum - probs) < top_p     # first token always kept
+        sorted_logits = jnp.where(keep, sorted_logits, -jnp.inf)
+        # Scatter back through the argsort permutation.
+        inv = jnp.argsort(sort_idx, axis=-1)
+        logits = jnp.take_along_axis(sorted_logits, inv, axis=-1)
     key = jax.random.fold_in(rng, step)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
@@ -131,8 +138,7 @@ class GenerationEngine:
             nxt = _sample(logits, self.temperature, rng, step,
                           self.top_k, self.top_p)
             nxt = jnp.where(done, self.pad_id, nxt)
-            tokens = tokens.at[:, step].set(
-                jnp.where(done, self.pad_id, nxt))
+            tokens = tokens.at[:, step].set(nxt)
             new_done = jnp.logical_or(done, nxt == self.eos_id)
             lengths = lengths + jnp.where(done, 0, 1)
             return (step + 1, tokens, nxt, new_done, lengths, cache)

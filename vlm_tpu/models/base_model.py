@@ -79,8 +79,12 @@ class VLMModel:
         self._engines: Dict[Any, GenerationEngine] = {}
         print(f"Model {self.family} ({self.quantization}) ready.")
 
+    #: production default sizes, like the reference's default HF ids
+    #: (llava.py:24, paligemma.py:37, blip2.py:24); tests pass size="test".
+    DEFAULT_SIZE = "test"
+
     def default_size(self) -> str:
-        return "test"
+        return self.DEFAULT_SIZE
 
     def _maybe_load_weights(self):
         """Load weights when ``model_id`` is a local directory: our native
@@ -224,6 +228,7 @@ class LLaVAModel(VLMModel):
     Prompt format: ``USER: <image>\\n{prompt} ASSISTANT:``
     (reference: llava.py:49-61 via the HF chat template)."""
     family = "llava"
+    DEFAULT_SIZE = "7b"
 
     def format_prompt(self, prompt: str):
         return "USER: ", f"\n{prompt} ASSISTANT:", True, False
@@ -234,6 +239,7 @@ class PaLIGemmaModel(VLMModel):
     (reference: paligemma.py:62 prepends ``<image>``; the HF processor puts
     image tokens before the BOS+text)."""
     family = "paligemma"
+    DEFAULT_SIZE = "3b"
 
     def format_prompt(self, prompt: str):
         return "", f"{prompt}\n", False, True
@@ -243,6 +249,7 @@ class BLIP2OptModel(VLMModel):
     """BLIP-2 OPT-6.7B: 32 Q-Former tokens then
     ``Question: {prompt}. Answer:`` (reference: blip2.py:48)."""
     family = "blip2"
+    DEFAULT_SIZE = "6.7b"
 
     def format_prompt(self, prompt: str):
         return "", f"Question: {prompt}. Answer:", False, True

@@ -18,17 +18,15 @@ the fused path too.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+from ._compat import pallas_interpret
+
 NEG_INF = -1e30
 
-# Run Pallas kernels in interpreter mode (CPU tests exercise the same kernel
-# code paths without TPU hardware).
-PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def _xla_attention(q, k, v, *, causal: bool, scale: float,
@@ -163,7 +161,7 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
                           offset=sk - sq, masked=masked, heads=heads),
         out_shape=jax.ShapeDtypeStruct((bh, sq + pad, d), q.dtype),
         grid_spec=grid_spec,
-        interpret=PALLAS_INTERPRET,
+        interpret=pallas_interpret(),
     )(kvl, q3, k3, v3)
     if pad:
         out = out[:, :sq]

@@ -11,12 +11,12 @@ transpose materialization, full HBM bandwidth.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 
-_PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
+from ._compat import pallas_interpret
+
 
 
 def _kernel_t(x_ref, w_ref, o_ref):
@@ -59,7 +59,7 @@ def skinny_matmul_t(x: jax.Array, w: jax.Array, *, block_n: int = 1024,
         ],
         out_specs=pl.BlockSpec((m + pad_m, bn), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
-        interpret=_PALLAS_INTERPRET,
+        interpret=pallas_interpret(),
     )(x, w)
     return out[:m, :n]
 

@@ -27,11 +27,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import Iterable, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from ._compat import pallas_interpret
 import numpy as np
 from PIL import Image
 
@@ -40,7 +41,6 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 SIGLIP_MEAN = (0.5, 0.5, 0.5)
 SIGLIP_STD = (0.5, 0.5, 0.5)
 
-_PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,7 +149,7 @@ def _normalize_pallas(batch_u8: jax.Array, scale: jax.Array,
         ],
         out_specs=pl.BlockSpec((row_tile, w * c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=_PALLAS_INTERPRET,
+        interpret=pallas_interpret(),
     )(x2, lane_scale[None, :], lane_bias[None, :])
     return out.reshape(b, h, w, c)
 

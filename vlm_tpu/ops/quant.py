@@ -21,13 +21,13 @@ Both paths fall back to pure-jnp dequant matmul off-TPU (same numerics).
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-_PALLAS_INTERPRET = os.environ.get("VLM_TPU_PALLAS_INTERPRET", "0") == "1"
+from ._compat import pallas_interpret
+
 
 
 class QuantizedWeight(NamedTuple):
@@ -153,7 +153,7 @@ def _int8xint8_matmul_pallas(qx, sx, qw, sw, *, block_m=256, block_n=512,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        interpret=_PALLAS_INTERPRET,
+        interpret=pallas_interpret(),
     )(qx, sx, qw, sw)
     return out[:m, :n]
 
@@ -167,7 +167,10 @@ def quant_matmul_dynamic(x: jax.Array, qw: QuantizedWeight, *,
     out_dtype = out_dtype or x.dtype
     qx, sx = quantize_activations(x)
     if use_pallas is None:
-        use_pallas = (jax.devices()[0].platform == "tpu" and x.ndim == 2)
+        # Beyond K=16384 even the shrunken tiles overflow VMEM; fall back to
+        # the XLA int32 dot path.
+        use_pallas = (jax.devices()[0].platform == "tpu" and x.ndim == 2
+                      and x.shape[1] <= 16384)
     if use_pallas:
         # Shrink tiles for wide contractions so the double-buffered int8
         # operand tiles stay inside the ~16 MB VMEM budget.
@@ -228,7 +231,7 @@ def _int8_matmul_pallas(x, q, scale, *, block_m=256, block_n=512,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        interpret=_PALLAS_INTERPRET,
+        interpret=pallas_interpret(),
     )(xp, qp, sp)
     return out[:m, :n]
 
