@@ -72,3 +72,37 @@ class TestPrefetch:
             return x
         with pytest.raises(ValueError):
             list(prefetch_batches(range(5), boom))
+
+
+class TestPNGNative:
+    def test_png_decodes_natively(self, tmp_path):
+        rng = np.random.default_rng(5)
+        paths = []
+        for i in range(3):
+            img = Image.fromarray(
+                rng.integers(0, 255, (90, 70, 3), dtype=np.uint8))
+            p = tmp_path / f"x{i}.png"
+            img.save(p)
+            paths.append(p)
+        # grayscale + palette variants must expand to RGB
+        Image.fromarray(rng.integers(0, 255, (50, 50), dtype=np.uint8),
+                        "L").save(tmp_path / "gray.png")
+        Image.fromarray(rng.integers(0, 255, (50, 50, 3),
+                                     dtype=np.uint8)).convert(
+            "P").save(tmp_path / "pal.png")
+        paths += [tmp_path / "gray.png", tmp_path / "pal.png"]
+        r = recipe_for("llava")
+        nat = load_batch(paths, r, threads=2)
+        pil = np.stack([host_resize(Image.open(p).convert("RGB"), r)
+                        for p in paths])
+        diff = np.abs(nat.astype(int) - pil.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_mixed_jpeg_png_batch(self, tmp_path, jpeg_dir):
+        img = Image.fromarray(np.random.default_rng(6).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8))
+        p = tmp_path / "m.png"
+        img.save(p)
+        out = load_batch([jpeg_dir[0], p], recipe_for("blip2"))
+        assert out.shape == (2, 224, 224, 3)
+        assert out[1].std() > 0       # not zero-filled

@@ -1,9 +1,10 @@
 """ctypes bindings for the native image loader + PIL fallback.
 
 ``load_batch(paths, recipe)`` returns a uint8 [N, S, S, 3] batch, decoded and
-recipe-resized by the C++ thread pool (`vlm_tpu/native/imgloader.cpp`) when
-available, else by PIL (`vlm_tpu.ops.preprocess.host_resize` — the bit-exact
-HF-parity path). Non-JPEG files always take the PIL path.
+recipe-resized by the C++ thread pool (`vlm_tpu/native/imgloader.cpp`,
+JPEG via libjpeg-turbo + PNG via libpng) when available, else by PIL
+(`vlm_tpu.ops.preprocess.host_resize` — the bit-exact HF-parity path).
+Other formats always take the PIL path.
 """
 
 from __future__ import annotations
@@ -57,9 +58,10 @@ def load_batch(paths: Sequence, recipe: "PreprocessRecipe", *,
     paths = [str(p) for p in paths]
     n = len(paths)
     s = recipe.image_size
-    jpegs = all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+    supported = all(p.lower().endswith((".jpg", ".jpeg", ".png"))
+                    for p in paths)
     lib = _load_lib() if (use_native is None or use_native) else None
-    if lib is not None and jpegs and n > 0:
+    if lib is not None and supported and n > 0:
         out = np.zeros((n, s, s, 3), dtype=np.uint8)
         ok = np.zeros((n,), dtype=np.uint8)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])

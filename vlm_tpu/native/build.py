@@ -22,7 +22,8 @@ def build_imgloader(force: bool = False) -> Optional[Path]:
             LIB.stat().st_mtime >= SRC.stat().st_mtime:
         return LIB
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", str(SRC), "-o", str(LIB), "-ljpeg", "-lpthread"]
+           "-std=c++17", str(SRC), "-o", str(LIB), "-ljpeg", "-lpng",
+           "-lpthread"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=120)

@@ -18,6 +18,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -26,6 +27,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cctype>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -90,6 +93,49 @@ bool decode_jpeg(const char* path, int min_target, std::vector<uint8_t>* out,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// ----------------------------- PNG decode -----------------------------
+
+// Decode a PNG file to 8-bit RGB (alpha stripped, palette/gray expanded).
+bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  uint8_t sig[8];
+  if (std::fread(sig, 1, 8, f) != 8 || png_sig_cmp(sig, 0, 8)) {
+    std::fclose(f);
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) {
+    std::fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  png_set_expand(png);               // palette/gray/low-bit -> 8-bit
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  const size_t stride = static_cast<size_t>(*w) * 3;
+  out->resize(stride * *h);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y) rows[y] = out->data() + y * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(f);
   return true;
 }
@@ -201,10 +247,21 @@ void resize_rgb(const uint8_t* src, int sw, int sh, double box_x0,
 
 // One image: decode + recipe resize into dst [size, size, 3].
 // mode 0 = warp (SigLIP/BLIP-2), mode 1 = shortest-edge + center crop (CLIP).
+bool has_suffix(const char* path, const char* suf) {
+  const std::string s(path);
+  std::string l(s);
+  for (auto& c : l) c = std::tolower(c);
+  const std::string t(suf);
+  return l.size() >= t.size() && l.compare(l.size() - t.size(), t.size(), t) == 0;
+}
+
 bool load_one(const char* path, int size, int mode, uint8_t* dst) {
   std::vector<uint8_t> img;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, size, &img, &w, &h)) return false;
+  bool ok = has_suffix(path, ".png")
+                ? decode_png(path, &img, &w, &h)
+                : decode_jpeg(path, size, &img, &w, &h);
+  if (!ok) return false;
   if (mode == 0) {
     resize_rgb(img.data(), w, h, 0.0, 0.0, w, h, dst, size, size);
   } else {
