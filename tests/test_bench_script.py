@@ -1,0 +1,36 @@
+"""Guard the driver-facing bench artifact: bench.py must emit exactly one
+valid JSON line on stdout (tiny model, CPU backend)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+pytestmark = pytest.mark.slow
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ)
+    env.update({
+        "VLM_TPU_PLATFORM": "cpu",
+        "VLM_TPU_PALLAS_INTERPRET": "1",
+        "VLM_TPU_BENCH_SIZE": "test",
+        "VLM_TPU_BENCH_N": "4",
+        "VLM_TPU_BENCH_BATCH": "2",
+        "VLM_TPU_BENCH_TOKENS": "3",
+        "VLM_TPU_BENCH_SEQ_N": "1",
+    })
+    res = subprocess.run([sys.executable, str(REPO_ROOT / "bench.py")],
+                         capture_output=True, text=True, timeout=420,
+                         env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [l for l in res.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, res.stdout
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
+    assert payload["unit"] == "images/sec"
