@@ -72,13 +72,16 @@ def main():
             for _ in range(max(n_images, batch))]
 
     # ---------- sequential batch-1 baseline (reference loop structure) ----
-    model.generate_text(imgs[0], MIVIA_PROMPT, max_tokens=max_tokens)  # compile
-    t0 = time.perf_counter()
-    for i in range(n_seq):
-        model.generate_text(imgs[i + 1], MIVIA_PROMPT,
-                            max_tokens=max_tokens)
-    seq_ips = n_seq / (time.perf_counter() - t0)
-    log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
+    seq_ips = 0.0
+    if n_seq > 0:
+        model.generate_text(imgs[0], MIVIA_PROMPT,
+                            max_tokens=max_tokens)  # compile
+        t0 = time.perf_counter()
+        for i in range(n_seq):
+            model.generate_text(imgs[i + 1], MIVIA_PROMPT,
+                                max_tokens=max_tokens)
+        seq_ips = n_seq / (time.perf_counter() - t0)
+        log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
 
     # ---------- batched path (host decode + device) ----------
     model.generate_batch(imgs[:batch], MIVIA_PROMPT,
@@ -139,7 +142,8 @@ def main():
         if quant != "bf16" else f"paligemma_{size}_zero_shot_images_per_sec",
         "value": round(batched_ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(batched_ips / max(seq_ips, 1e-9), 2),
+        "vs_baseline": round(batched_ips / seq_ips, 2) if seq_ips > 0
+        else 0.0,
     }), flush=True)
 
 

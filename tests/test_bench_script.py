@@ -22,7 +22,7 @@ def test_bench_emits_one_json_line():
         "VLM_TPU_BENCH_N": "4",
         "VLM_TPU_BENCH_BATCH": "2",
         "VLM_TPU_BENCH_TOKENS": "3",
-        "VLM_TPU_BENCH_SEQ_N": "1",
+        "VLM_TPU_BENCH_SEQ_N": "0",
     })
     res = subprocess.run([sys.executable, str(REPO_ROOT / "bench.py")],
                          capture_output=True, text=True, timeout=420,
