@@ -1,24 +1,35 @@
 #!/usr/bin/env python
-"""Headline benchmark: zero-shot VLM eval throughput (images/sec) on TPU.
+"""Headline benchmark: zero-shot VLM eval throughput + latency on TPU.
 
 Measures the north-star metric from BASELINE.json — images/sec on
-MiviaPar-style zero-shot eval — for the PaliGemma-3B configuration
-(BASELINE "configs" list) with the full TPU pipeline: host decode → fused
-preprocessing → batched prefill → ``lax.while_loop`` greedy decode.
+MiviaPar-style zero-shot eval **and p50 per-image generate latency** — for
+the PaliGemma-3B configuration with the full TPU pipeline: host decode →
+fused preprocessing → batched prefill → decode.
+
+The headline number is the **continuous batcher** (what
+``scripts/prompt_inference.py`` actually runs) on a realistic variable-length
+workload: per-image generation caps drawn uniformly from [8, max_tokens]
+model the reference's EOS-early behavior under ``max_tokens: 100``
+(`/root/reference/configs/prompt_inference.yaml:9`). The wave engine is
+measured on the *same* workload (per-sequence caps are a traced argument —
+no recompiles) to quantify the continuous-batching win.
 
 Baseline: the reference's hot loop is one ``model.generate`` per image
-(`/root/reference/scripts/prompt_inference.py:75-79`) and it publishes no
-numbers, so the comparison that isolates this rebuild's claim is measured in
-the same run on the same chip: the sequential batch-1 path (the reference's
-loop structure) vs the batched path. ``vs_baseline`` = batched / sequential
-throughput.
+(`/root/reference/scripts/prompt_inference.py:75-79`). ``vs_baseline`` is
+the same-chip structural ratio (continuous vs sequential batch-1 loop); the
+measured torch-CPU reference anchor lives in BASELINE.md
+(scripts/measure_reference_baseline.py).
 
 Output: ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
+   "p50_latency_ms": N, "p99_latency_ms": N, ...}
 
 Env knobs: VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
 VLM_TPU_BENCH_N (measured images, default 96),
-VLM_TPU_BENCH_BATCH (default 24), VLM_TPU_BENCH_TOKENS (default 32).
+VLM_TPU_BENCH_BATCH (default 32), VLM_TPU_BENCH_TOKENS (max cap, default 100),
+VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
+VLM_TPU_BENCH_WAVE=0 skips the wave comparison,
+VLM_TPU_PROFILE_DIR (write a jax.profiler trace of the continuous phase).
 """
 
 import json
@@ -31,6 +42,10 @@ REPO_ROOT = Path(__file__).resolve().parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 os.environ.setdefault("VLM_TPU_ROOT", str(REPO_ROOT))
+
+from vlm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 
 
 def log(*a):
@@ -52,8 +67,10 @@ def main():
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "96"))
     # Batch 32 measured best on v5e (64 loses to host decode + cache size).
     batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "32"))
-    max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "32"))
+    max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "100"))
     n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "6"))
+    run_wave = os.environ.get("VLM_TPU_BENCH_WAVE", "1") != "0"
+    profile_dir = os.environ.get("VLM_TPU_PROFILE_DIR", "")
 
     import jax
     log(f"[bench] devices: {jax.devices()}")
@@ -70,59 +87,101 @@ def main():
     imgs = [Image.fromarray(rng.integers(0, 255, (128, 96, 3),
                                          dtype=np.uint8))
             for _ in range(max(n_images, batch))]
+    # Variable-length workload: per-image caps model EOS-early generations
+    # under the reference's max_tokens=100.
+    cap_lo = min(8, max_tokens)
+    caps = rng.integers(cap_lo, max_tokens + 1,
+                        size=n_images).astype(np.int32)
+    mean_len = float(caps.mean())
+    log(f"[bench] variable-length caps: mean {mean_len:.1f}, "
+        f"min {caps.min()}, max {caps.max()}")
 
-    # ---------- sequential batch-1 baseline (reference loop structure) ----
-    seq_ips = 0.0
-    if n_seq > 0:
-        model.generate_text(imgs[0], MIVIA_PROMPT,
-                            max_tokens=max_tokens)  # compile
-        t0 = time.perf_counter()
-        for i in range(n_seq):
-            model.generate_text(imgs[i + 1], MIVIA_PROMPT,
-                                max_tokens=max_tokens)
-        seq_ips = n_seq / (time.perf_counter() - t0)
-        log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
-
-    # ---------- batched path (host decode + device) ----------
-    model.generate_batch(imgs[:batch], MIVIA_PROMPT,
-                         max_tokens=max_tokens)  # compile
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_images:
-        chunk = imgs[done % len(imgs):][:batch]
-        if len(chunk) < batch:
-            chunk = (chunk + imgs)[:batch]
-        model.generate_batch(chunk, MIVIA_PROMPT, max_tokens=max_tokens)
-        done += batch
-    batched_ips = done / (time.perf_counter() - t0)
-    log(f"[bench] batched (B={batch}): {batched_ips:.2f} img/s")
-
-    # ---------- device-only (pre-staged pixels; isolates TPU throughput
-    # from this host's single CPU core) ----------
     import jax.numpy as jnp
 
+    from vlm_tpu.generate.batcher import ContinuousBatcher
     from vlm_tpu.generate.decode import build_prompt_ids
     from vlm_tpu.models.vlm import num_image_tokens
     from vlm_tpu.ops.preprocess import host_batch, normalize_images
+    from vlm_tpu.utils.profiling import profile_trace
 
-    pixels = normalize_images(
-        jnp.asarray(host_batch(imgs[:batch], model.recipe)),
-        recipe=model.recipe, compute_dtype=model.policy.compute_dtype)
     pre_t, post_t, bos_pre, bos_post = model.format_prompt(MIVIA_PROMPT)
     pre_ids, post_ids, plen = build_prompt_ids(
         model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), batch,
         add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
-    engine = model._engine(batch, int(plen[0]), max_tokens)
-    r = engine.generate(model.params, pixels, pre_ids, post_ids, plen)
-    _ = np.asarray(r.tokens)
+    plen_scalar = int(plen[0])
+
+    def pixel_fn(idxs):
+        return normalize_images(
+            jnp.asarray(host_batch([imgs[i % len(imgs)] for i in idxs],
+                                   model.recipe)),
+            recipe=model.recipe, compute_dtype=model.policy.compute_dtype)
+
+    # ---------- sequential batch-1 baseline (reference loop structure) ----
+    seq_ips = 0.0
+    if n_seq > 0:
+        pre1, post1, plen1 = build_prompt_ids(
+            model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), 1,
+            add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+        eng1 = model._engine(1, int(plen1[0]), max_tokens)
+        r = eng1.generate(model.params, pixel_fn([0]), pre1, post1, plen1,
+                          max_new_per_seq=jnp.asarray(caps[:1]))
+        _ = np.asarray(r.tokens)  # compile
+        t0 = time.perf_counter()
+        for i in range(n_seq):
+            # batch-1 at each image's own length — the reference's EOS-early
+            # per-image loop (caps are traced; no recompilation)
+            r = eng1.generate(model.params, pixel_fn([i + 1]), pre1, post1,
+                              plen1,
+                              max_new_per_seq=jnp.asarray(
+                                  caps[i % len(caps):][:1]))
+            _ = np.asarray(r.tokens)
+        seq_ips = n_seq / (time.perf_counter() - t0)
+        log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
+
+    # ---------- continuous batcher (HEADLINE) ----------
+    batcher = ContinuousBatcher(
+        model.module, model.cfg, batch_size=batch,
+        max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
+        cache_dtype=model.policy.compute_dtype,
+        eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
+    # compile (prefill group + decode step) on a short run
+    batcher.run(model.params, pixel_fn, np.asarray(pre_ids[0]),
+                np.asarray(post_ids[0]), plen_scalar,
+                n_images=batch, max_new_per_image=[4] * batch)
     t0 = time.perf_counter()
-    done = 0
-    while done < n_images:
-        r = engine.generate(model.params, pixels, pre_ids, post_ids, plen)
-        _ = np.asarray(r.tokens)
-        done += batch
-    device_ips = done / (time.perf_counter() - t0)
-    log(f"[bench] device-only (B={batch}): {device_ips:.2f} img/s")
+    with profile_trace(profile_dir, enabled=bool(profile_dir)):
+        batcher.run(model.params, pixel_fn, np.asarray(pre_ids[0]),
+                    np.asarray(post_ids[0]), plen_scalar,
+                    n_images=n_images, max_new_per_image=caps)
+    cont_ips = n_images / (time.perf_counter() - t0)
+    lats = sorted(l for l in batcher.last_latency_s if l is not None)
+    p50 = 1e3 * lats[len(lats) // 2]
+    p99 = 1e3 * lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+    log(f"[bench] continuous (B={batch}): {cont_ips:.2f} img/s, "
+        f"latency p50 {p50:.0f} ms / p99 {p99:.0f} ms")
+    if profile_dir:
+        log(f"[bench] profiler trace written to {profile_dir}")
+
+    # ---------- wave engine on the same workload ----------
+    wave_ips = 0.0
+    if run_wave:
+        engine = model._engine(batch, plen_scalar, max_tokens)
+        pixels = pixel_fn(list(range(batch)))
+        r = engine.generate(model.params, pixels, pre_ids, post_ids, plen,
+                            max_new_per_seq=jnp.asarray(caps[:batch]))
+        _ = np.asarray(r.tokens)  # compile
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_images:
+            wave_caps = np.resize(caps[done:done + batch], batch)
+            r = engine.generate(model.params, pixels, pre_ids, post_ids,
+                                plen,
+                                max_new_per_seq=jnp.asarray(wave_caps))
+            _ = np.asarray(r.tokens)
+            done += batch
+        wave_ips = done / (time.perf_counter() - t0)
+        log(f"[bench] wave (B={batch}, device-resident pixels): "
+            f"{wave_ips:.2f} img/s")
 
     # ---------- optional: probing feature-extraction throughput ----------
     if os.environ.get("VLM_TPU_BENCH_PROBE", "0") == "1":
@@ -140,10 +199,17 @@ def main():
     print(json.dumps({
         "metric": f"paligemma_{size}_{quant}_zero_shot_images_per_sec"
         if quant != "bf16" else f"paligemma_{size}_zero_shot_images_per_sec",
-        "value": round(batched_ips, 3),
+        "value": round(cont_ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(batched_ips / seq_ips, 2) if seq_ips > 0
-        else 0.0,
+        "vs_baseline": round(cont_ips / seq_ips, 2) if seq_ips > 0 else 0.0,
+        "p50_latency_ms": round(p50, 1),
+        "p99_latency_ms": round(p99, 1),
+        "wave_img_s": round(wave_ips, 3),
+        "sequential_img_s": round(seq_ips, 3),
+        "mean_gen_len": round(mean_len, 1),
+        "max_tokens": max_tokens,
+        "batch": batch,
+        "engine": "continuous_batcher",
     }), flush=True)
 
 

@@ -31,6 +31,8 @@ def test_bench_emits_one_json_line():
     lines = [l for l in res.stdout.splitlines() if l.strip().startswith("{")]
     assert len(lines) == 1, res.stdout
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline",
+            "p50_latency_ms", "p99_latency_ms"} <= set(payload)
     assert payload["value"] > 0
+    assert payload["p50_latency_ms"] > 0
     assert payload["unit"] == "images/sec"

@@ -21,12 +21,14 @@ but sufficient because every prompt in a run has the same length.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional
+import time
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.pipeline import prefetch_batches
 from ..models.configs import VLMConfig
 from ..models.decoder import init_kv_cache
 from ..models.vlm import VLMModule
@@ -105,71 +107,96 @@ class ContinuousBatcher:
     def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
             pre_ids_row: np.ndarray, post_ids_row: np.ndarray,
             prompt_len_scalar: int, n_images: int,
-            progress: Optional[Callable[[int], None]] = None) -> List[List[int]]:
+            progress: Optional[Callable[[int], None]] = None,
+            max_new_per_image: Optional[Sequence[int]] = None,
+            prefetch_depth: int = 2) -> List[List[int]]:
         """Generate for ``n_images`` inputs.
 
         Args:
             pixel_fn: called with a list of image indices, returns their
-                normalized pixel batch (host decode happens lazily here, so
-                admission and IO interleave).
+                normalized pixel batch. Runs on a background prefetch thread
+                in admission-block granularity, so host image decode overlaps
+                device decode steps (the JAX-native analogue of the
+                reference's DataLoader workers,
+                `/root/reference/probing/train/multitask_trainer.py:165-175`).
             pre_ids_row/post_ids_row: the (batch-constant) prompt id rows.
             prompt_len_scalar: merged prompt length.
-        Returns: generated token lists, in input order.
+            max_new_per_image: optional per-request generation caps (each
+                clamped to ``max_new_tokens``) — the serving analogue of a
+                per-request ``max_tokens`` parameter.
+        Returns: generated token lists, in input order. After the call,
+        :attr:`last_latency_s` holds per-image admission→completion latency
+        (None for images never admitted, e.g. after an interrupt).
         """
         B = self.batch_size
         cache = init_kv_cache(self.cfg.decoder, B, self.cache_len,
                               self.cache_dtype)
         slots = [_Slot() for _ in range(B)]
         results: List[Optional[List[int]]] = [None] * n_images
-        next_image = 0
+        self.last_latency_s: List[Optional[float]] = [None] * n_images
+        t_admit: List[float] = [0.0] * n_images
         cur_tokens = np.full((B,), self.pad_id, np.int32)
         seq_len = np.full((B,), 0, np.int32)
         gen_count = np.zeros((B,), np.int32)
+        caps = np.full((B,), self.max_new_tokens, np.int32)
 
         pre_g = {}
         post_g = {}
 
-        def admit(free: List[int]):
-            nonlocal next_image, cache, cur_tokens, seq_len, gen_count
-            group = free[:self.admit_block]
-            idxs = list(range(next_image,
-                              min(next_image + len(group), n_images)))
-            group = group[:len(idxs)]
-            if not group:
-                return
-            next_image += len(idxs)
+        # Admission happens in fixed blocks of input order, so a producer
+        # thread can decode block i+1's images while the device decodes.
+        blocks = [list(range(i, min(i + self.admit_block, n_images)))
+                  for i in range(0, n_images, self.admit_block)]
+        block_iter = prefetch_batches(
+            blocks, lambda idxs: (idxs, pixel_fn(idxs)),
+            depth=max(1, prefetch_depth))
+
+        def admit(free: List[int], idxs: List[int], pixels):
+            nonlocal cache
+            group = free[:len(idxs)]
             g = len(group)
+            now = time.perf_counter()
+            for idx in idxs:
+                t_admit[idx] = now
             if g not in pre_g:
                 pre_g[g] = jnp.asarray(np.repeat(pre_ids_row[None], g, 0))
                 post_g[g] = jnp.asarray(np.repeat(post_ids_row[None], g, 0))
-            pixels = pixel_fn(idxs)
             plen = jnp.full((g,), prompt_len_scalar, jnp.int32)
             first, cache = self._prefill_group(
                 params, pixels, pre_g[g], post_g[g], plen, cache,
                 jnp.asarray(group, jnp.int32))
             first = np.asarray(first)
             for j, s in enumerate(group):
+                cap = self.max_new_tokens
+                if max_new_per_image is not None:
+                    cap = max(1, min(cap, int(max_new_per_image[idxs[j]])))
                 slots[s] = _Slot(image_idx=idxs[j], tokens=[int(first[j])],
-                                 active=int(first[j]) != self.eos_id)
+                                 active=True)
                 cur_tokens[s] = first[j]
                 seq_len[s] = prompt_len_scalar
                 gen_count[s] = 1
-                if not slots[s].active:
+                caps[s] = cap
+                if int(first[j]) == self.eos_id or cap <= 1:
+                    slots[s].active = False
                     _finish(s)
 
         def _finish(s: int):
             slot = slots[s]
             toks = [t for t in slot.tokens if t != self.eos_id]
             results[slot.image_idx] = toks
+            self.last_latency_s[slot.image_idx] = \
+                time.perf_counter() - t_admit[slot.image_idx]
             slots[s] = _Slot()
             if progress is not None:
                 progress(1)
 
+        pending = next(block_iter, None)
         try:
-            while next_image < n_images or any(s.active for s in slots):
+            while pending is not None or any(s.active for s in slots):
                 free = [i for i, s in enumerate(slots) if not s.active]
-                if free and next_image < n_images:
-                    admit(free)
+                if pending is not None and len(free) >= len(pending[0]):
+                    admit(free, *pending)
+                    pending = next(block_iter, None)
                     continue
                 # one decode step for all slots
                 toks, cache = self._decode_all(
@@ -183,8 +210,7 @@ class ContinuousBatcher:
                     seq_len[i] += 1
                     gen_count[i] += 1
                     s.tokens.append(t)
-                    if t == self.eos_id or \
-                            gen_count[i] >= self.max_new_tokens:
+                    if t == self.eos_id or gen_count[i] >= caps[i]:
                         s.active = False
                         _finish(i)
                 # inactive slots advance nothing; next decode input is pad
@@ -195,4 +221,6 @@ class ContinuousBatcher:
             # scripts/prompt_inference.py:80-86): unfinished inputs stay
             # None so the caller can evaluate only what completed.
             print("\n[batcher] interrupted — returning completed results")
+        finally:
+            block_iter.close()
         return results

@@ -107,7 +107,7 @@ class GenerationEngine:
 
     # ------------------------------------------------------------------
     def _generate_impl(self, params, pixels, pre_ids, post_ids, prompt_len,
-                       rng):
+                       rng, max_new_per_seq):
         mod = self.module
         # The cache is allocated INSIDE the jit: passing it as an argument
         # can never alias (it is not an output), which forced XLA to keep
@@ -118,12 +118,14 @@ class GenerationEngine:
                                        cache, prompt_len, method="prefill")
         max_new = self.max_new_tokens
         b = pixels.shape[0]
+        # per-sequence caps are a traced array (no recompilation per cap set)
+        caps = jnp.minimum(max_new_per_seq.astype(jnp.int32), max_new)
 
         tok0 = _sample(last_logits, self.temperature, rng,
                        jnp.asarray(0, jnp.int32), self.top_k, self.top_p)
         tokens = jnp.full((b, max_new), self.pad_id, jnp.int32)
         tokens = tokens.at[:, 0].set(tok0)
-        done = tok0 == self.eos_id
+        done = jnp.logical_or(tok0 == self.eos_id, caps <= 1)
         lengths = jnp.ones((b,), jnp.int32)
 
         def cond(state):
@@ -139,7 +141,7 @@ class GenerationEngine:
                           self.top_k, self.top_p)
             nxt = jnp.where(done, self.pad_id, nxt)
             tokens = tokens.at[:, step].set(nxt)
-            new_done = jnp.logical_or(done, nxt == self.eos_id)
+            new_done = done | (nxt == self.eos_id) | (step + 1 >= caps)
             lengths = lengths + jnp.where(done, 0, 1)
             return (step + 1, tokens, nxt, new_done, lengths, cache)
 
@@ -152,14 +154,20 @@ class GenerationEngine:
     # ------------------------------------------------------------------
     def generate(self, params, pixels: jax.Array, pre_ids: jax.Array,
                  post_ids: jax.Array, prompt_len: jax.Array,
-                 rng: Optional[jax.Array] = None) -> GenerationResult:
+                 rng: Optional[jax.Array] = None,
+                 max_new_per_seq: Optional[jax.Array] = None) -> GenerationResult:
         """Batched generation. ``pixels`` [B,H,W,3] normalized; ``pre_ids``/
         ``post_ids`` [B, P] left-aligned (pad with pad_id); ``prompt_len``
-        [B] true merged lengths."""
+        [B] true merged lengths. ``max_new_per_seq`` [B] optionally caps each
+        sequence's generation (clamped to ``max_new_tokens``); it is a traced
+        argument, so varying caps never recompile."""
         if rng is None:
             rng = jax.random.key(0)
+        if max_new_per_seq is None:
+            max_new_per_seq = jnp.full((pixels.shape[0],),
+                                       self.max_new_tokens, jnp.int32)
         tokens, lengths = self._generate(params, pixels, pre_ids, post_ids,
-                                         prompt_len, rng)
+                                         prompt_len, rng, max_new_per_seq)
         return GenerationResult(tokens=tokens, lengths=lengths)
 
 

@@ -31,7 +31,35 @@ def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
         with safe_open(str(f), framework="numpy") as st:
             for key in st.keys():
                 tensors[key] = st.get_tensor(key)
-    return tensors
+    return _normalize_hf_keys(tensors)
+
+
+#: transformers ≥4.52 re-rooted composite VLMs: ``language_model.model.*`` →
+#: ``model.language_model.*`` with a top-level ``lm_head``. Canonical hub
+#: checkpoints (llava-1.5, paligemma mixes) still use the legacy layout; we
+#: accept both by rewriting new-style keys back to the legacy names the
+#: converters below address.
+_NEW_STYLE_RENAMES = (
+    ("model.vision_tower.", "vision_tower."),
+    ("model.multi_modal_projector.", "multi_modal_projector."),
+    ("model.language_model.", "language_model.model."),
+)
+
+
+def _normalize_hf_keys(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if not any(k.startswith("model.") for k in tensors):
+        return tensors
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tensors.items():
+        if k == "lm_head.weight":
+            out["language_model.lm_head.weight"] = v
+            continue
+        for new, old in _NEW_STYLE_RENAMES:
+            if k.startswith(new):
+                k = old + k[len(new):]
+                break
+        out[k] = v
+    return out
 
 
 def _t(x):  # torch linear [out, in] -> flax kernel [in, out]

@@ -123,7 +123,13 @@ class ViTEncoder(nn.Module):
                             param_dtype=self.param_dtype, name="post_ln")
         if cfg.post_layernorm == "all":
             last = post_ln(x)
-            pooled = last[:, 0] if cfg.use_cls_token else None
+            # HF Blip2VisionModel applies post_layernorm a SECOND time to the
+            # pooled CLS (modeling_blip_2.py: last = post_ln(hidden);
+            # pooled = post_ln(last[:, 0])). The reference's BLIP2Backbone
+            # consumes exactly that pooler_output
+            # (/root/reference/models/blip2.py:83-95), so we reproduce the
+            # double application (verified by tests/test_hf_parity.py).
+            pooled = post_ln(last[:, 0:1])[:, 0] if cfg.use_cls_token else None
         else:  # "pooled_only" (CLIP): last_hidden_state is NOT post-normed
             last = x
             pooled = post_ln(x[:, 0:1])[:, 0] if cfg.use_cls_token else None

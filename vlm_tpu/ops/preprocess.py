@@ -82,10 +82,16 @@ def host_resize(image: Image.Image, recipe: PreprocessRecipe) -> np.ndarray:
     if recipe.mode == "warp":
         img = img.resize((s, s), resample=recipe.resample)
     elif recipe.mode == "shortest_edge_crop":
+        # HF semantics (image_transforms.get_resize_output_image_size,
+        # default_to_square=False): the short edge is pinned to exactly
+        # ``s`` and the long edge is TRUNCATED to int(s * long / short) —
+        # verified bit-identical vs CLIPImageProcessor in
+        # tests/test_preprocess_parity.py.
         w, h = img.size
-        short = min(w, h)
-        scale = s / short
-        nw, nh = round(w * scale), round(h * scale)
+        if w <= h:
+            nw, nh = s, int(s * h / w)
+        else:
+            nw, nh = int(s * w / h), s
         img = img.resize((nw, nh), resample=recipe.resample)
         left = (nw - s) // 2
         top = (nh - s) // 2
