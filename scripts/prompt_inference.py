@@ -40,6 +40,9 @@ def main():
                         default="configs/prompt_inference.yaml")
     parser.add_argument("--limit", type=int, default=None,
                         help="optional cap on the number of images")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace of the inference "
+                             "run to DIR (view with TensorBoard/Perfetto)")
     args = parser.parse_args()
 
     from vlm_tpu.data.dataset_factory import DatasetFactory
@@ -90,6 +93,11 @@ def main():
     continuous = bool(cfg.get("continuous_batching", True))
     print(f"Running inference on dataset: {dataset_name} ({n} images, "
           f"batch={batch_size}, continuous={continuous})")
+    if args.profile:
+        # traced region covers the whole inference run (KeyboardInterrupt is
+        # consumed by the partial-eval handlers, so stop_trace below runs)
+        import jax
+        jax.profiler.start_trace(args.profile)
     if continuous:
         from vlm_tpu.evaluation import run_zero_shot
         summary = run_zero_shot(model, dataset, prompt, output_dir,
@@ -128,6 +136,10 @@ def main():
                                dataset_name=dataset_name)
         else:
             print("Nothing to evaluate.")
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile}")
 
 
 if __name__ == "__main__":

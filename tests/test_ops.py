@@ -1,5 +1,6 @@
 """Ops tests: preprocessing recipes and attention kernel parity."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -145,3 +146,42 @@ class TestSkinnyMatmul:
         x3 = x.reshape(13, 1, 64)
         out2 = decode_logits(x3, w, use_pallas=True)
         assert float(jnp.abs(out2[:, 0] - ref).max()) < 1e-4
+
+
+class TestFlashGradients:
+    """The fused kernel's custom_vjp: Pallas forward + XLA-derived backward
+    (probe training with unfrozen backbone layers stays fused)."""
+
+    def _qkv(self, b=2, h=4, s=64, d=64, seed=3):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+        return mk(), mk(), mk()
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_flash_grads_match_xla(self, causal):
+        q, k, v = self._qkv()
+        w = jnp.asarray(np.random.default_rng(9).normal(
+            size=q.shape), jnp.float32)
+
+        def loss(impl):
+            def f(q, k, v):
+                o = attention(q, k, v, causal=causal, impl=impl)
+                return jnp.sum(o * w)
+            return f
+
+        gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gx, gf):
+            assert float(jnp.abs(a - b).max()) < 1e-4
+
+    def test_flash_forward_value_used(self):
+        # the primal output must come from the Pallas kernel, not the
+        # recompute path: value_and_grad's value == impl="flash" forward
+        q, k, v = self._qkv(seed=5)
+
+        def f(q):
+            return jnp.sum(attention(q, k, v, impl="flash") ** 2)
+
+        val, _ = jax.value_and_grad(f)(q)
+        ref = jnp.sum(attention(q, k, v, impl="flash") ** 2)
+        assert float(jnp.abs(val - ref)) < 1e-5

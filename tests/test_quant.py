@@ -145,3 +145,54 @@ class TestDynamicInt8:
         assert y.shape == (256, 64)
         y2 = d.apply(params, jnp.ones((4, 32)))   # decode-like path
         assert y2.shape == (4, 64)
+
+
+class TestInt4Pallas:
+    def test_int4_pallas_matches_dequant(self):
+        x = _w((32, 256), seed=10)
+        qw = quant.quantize_int4(_w((256, 128), seed=11), group_size=64)
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=True)
+        assert out.shape == ref.shape
+        assert float(jnp.abs(out - ref).max()) < 2e-3
+
+    def test_int4_pallas_padding_path(self):
+        x = _w((9, 128), seed=12)
+        qw = quant.quantize_int4(_w((128, 100), seed=13), group_size=32)
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=True)
+        assert out.shape == (9, 100)
+        assert float(jnp.abs(out - ref).max()) < 2e-3
+
+
+class TestOutlierDecomposition:
+    def _outlier_x(self, m=16, k=256, seed=20):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(0, 1, (m, k)).astype(np.float32)
+        # emergent outlier features: a few columns with huge magnitudes
+        x[:, [3, 77, 200]] *= 40.0
+        return jnp.asarray(x)
+
+    def test_outlier_matmul_more_accurate(self):
+        x = self._outlier_x()
+        w = _w((256, 128), seed=21)
+        qw = quant.quantize_int8(w)
+        ref = x @ w
+        plain = quant.quant_matmul_dynamic(x, qw, out_dtype=jnp.float32,
+                                           use_pallas=False)
+        decomp = quant.quant_matmul_outlier(x, qw, n_outliers=8,
+                                            out_dtype=jnp.float32,
+                                            use_pallas=False)
+        err_plain = float(jnp.abs(plain - ref).mean())
+        err_decomp = float(jnp.abs(decomp - ref).mean())
+        # outlier columns no longer blow up the per-row activation scale
+        assert err_decomp < err_plain / 3, (err_plain, err_decomp)
+
+    def test_outlier_budget_clamped(self):
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.normal(0, 1, (4, 32)).astype(np.float32))
+        qw = quant.quantize_int8(_w((32, 16), seed=23))
+        out = quant.quant_matmul_outlier(x, qw, n_outliers=64,
+                                         use_pallas=False)
+        assert out.shape == (4, 16)
+

@@ -48,7 +48,11 @@ class ContinuousBatcher:
                  admit_block: Optional[int] = None,
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
-                 pad_id: Optional[int] = None):
+                 pad_id: Optional[int] = None,
+                 temperature: float = 0.0,
+                 top_k: int = 0,
+                 top_p: float = 1.0,
+                 rng: Optional[jax.Array] = None):
         self.module = module
         self.cfg = cfg
         self.batch_size = batch_size
@@ -59,6 +63,11 @@ class ContinuousBatcher:
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
+        # Sampling parity with the wave engine (greedy when temperature<=0).
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self._rng = rng if rng is not None else jax.random.key(0)
 
         # The cache is donated: each call's input buffer is dead afterwards,
         # so XLA updates it in place instead of holding a second multi-GB
@@ -69,8 +78,14 @@ class ContinuousBatcher:
                                    donate_argnums=(3,))
 
     # ------------------------- jitted device fns -------------------------
+    def _sample(self, logits: jax.Array, step: jax.Array) -> jax.Array:
+        from .decode import _sample
+        return _sample(logits, self.temperature,
+                       None if self.temperature <= 0.0 else self._rng,
+                       step, self.top_k, self.top_p)
+
     def _prefill_group_impl(self, params, pixels, pre_ids, post_ids,
-                            prompt_len, cache, slots):
+                            prompt_len, cache, slots, step):
         """Prefill ``g`` sequences and scatter their KV into ``cache`` at
         batch indices ``slots`` [g]."""
         g = pixels.shape[0]
@@ -94,14 +109,14 @@ class ContinuousBatcher:
             "v": tuple(scatter_layer(f, p)
                        for f, p in zip(cache["v"], group_cache["v"])),
         }
-        first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        first_tok = self._sample(last, step)
         return first_tok, cache
 
-    def _decode_all_impl(self, params, cur_tokens, seq_len, cache):
+    def _decode_all_impl(self, params, cur_tokens, seq_len, cache, step):
         logits, cache = self.module.apply(
             params, cur_tokens[:, None], seq_len, cache,
             method="decode_step")
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+        return self._sample(logits, step), cache
 
     # ------------------------- host loop -------------------------
     def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
@@ -142,6 +157,9 @@ class ContinuousBatcher:
 
         pre_g = {}
         post_g = {}
+        # monotone device-call counter folded into the sampling rng (traced
+        # scalar — no recompilation per step)
+        global_step = [0]
 
         # Admission happens in fixed blocks of input order, so a producer
         # thread can decode block i+1's images while the device decodes.
@@ -162,9 +180,11 @@ class ContinuousBatcher:
                 pre_g[g] = jnp.asarray(np.repeat(pre_ids_row[None], g, 0))
                 post_g[g] = jnp.asarray(np.repeat(post_ids_row[None], g, 0))
             plen = jnp.full((g,), prompt_len_scalar, jnp.int32)
+            global_step[0] += 1
             first, cache = self._prefill_group(
                 params, pixels, pre_g[g], post_g[g], plen, cache,
-                jnp.asarray(group, jnp.int32))
+                jnp.asarray(group, jnp.int32),
+                jnp.asarray(global_step[0], jnp.int32))
             first = np.asarray(first)
             for j, s in enumerate(group):
                 cap = self.max_new_tokens
@@ -199,9 +219,10 @@ class ContinuousBatcher:
                     pending = next(block_iter, None)
                     continue
                 # one decode step for all slots
+                global_step[0] += 1
                 toks, cache = self._decode_all(
                     params, jnp.asarray(cur_tokens), jnp.asarray(seq_len),
-                    cache)
+                    cache, jnp.asarray(global_step[0], jnp.int32))
                 toks = np.asarray(toks)
                 for i, s in enumerate(slots):
                     if not s.active:

@@ -135,8 +135,11 @@ class GenerationEngine:
         def body(state):
             step, tokens, cur, done, lengths, cache = state
             pos = prompt_len + step - 1           # position of `cur`
+            # prompts are batch-constant (build_prompt_ids), so every slot
+            # decodes at the same position → scalar-offset cache writes
             logits, cache = mod.apply(params, cur[:, None], pos, cache,
-                                      method="decode_step")
+                                      method="decode_step",
+                                      uniform_write=True)
             nxt = _sample(logits, self.temperature, rng, step,
                           self.top_k, self.top_p)
             nxt = jnp.where(done, self.pad_id, nxt)

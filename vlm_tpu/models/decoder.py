@@ -83,7 +83,7 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
 
 
 def _write_cache(cache_layer: jax.Array, new: jax.Array,
-                 start: jax.Array) -> jax.Array:
+                 start: jax.Array, uniform: bool = False) -> jax.Array:
     """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, max, H, D] at
     per-sequence offsets ``start`` [B].
 
@@ -91,7 +91,19 @@ def _write_cache(cache_layer: jax.Array, new: jax.Array,
     than a vmapped ``dynamic_update_slice``: per-batch dynamic offsets lower
     to TPU scatter ops that serialize (measured ~3 ms per layer on v5e);
     the masked write streams the cache layer once at full HBM bandwidth.
+
+    ``uniform=True`` (static) asserts every sequence writes at the same
+    offset — true for prefill (all start at 0) and for wave-engine decode
+    (prompts are batch-constant). Then a single scalar-offset
+    ``dynamic_update_slice`` writes only the new rows instead of streaming
+    the whole cache layer (the masked write costs ~1 ms/step on 3B decode;
+    the uniform write is O(new)).
     """
+    if uniform:
+        upd = new.transpose(0, 2, 1, 3).astype(cache_layer.dtype)
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            cache_layer, upd, (zero, start[0].astype(jnp.int32), zero, zero))
     b, h, s, d = new.shape
     max_len = cache_layer.shape[1]
     new = new.transpose(0, 2, 1, 3)                   # [B, S, H, D]
@@ -119,7 +131,8 @@ class DecoderAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
-                 kv_len=None, causal=True, prefix_len=None):
+                 kv_len=None, causal=True, prefix_len=None,
+                 uniform_write=False):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -141,8 +154,10 @@ class DecoderAttention(nn.Module):
         kv_layout = "bhsd"
         if cache_kv is not None:
             ck, cv = cache_kv                      # [B, max, kvH, D]
-            ck = _write_cache(ck, k.astype(ck.dtype), write_start)
-            cv = _write_cache(cv, v.astype(cv.dtype), write_start)
+            ck = _write_cache(ck, k.astype(ck.dtype), write_start,
+                              uniform=uniform_write)
+            cv = _write_cache(cv, v.astype(cv.dtype), write_start,
+                              uniform=uniform_write)
             new_cache = (ck, cv)
             if s == 1:
                 # decode step: attend over the cache (in its native
@@ -208,7 +223,8 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
-                 kv_len=None, causal=True, prefix_len=None):
+                 kv_len=None, causal=True, prefix_len=None,
+                 uniform_write=False):
         cfg = self.cfg
         if cfg.norm == "rmsnorm":
             mk_norm = lambda name: RMSNorm(eps=cfg.norm_eps,
@@ -223,7 +239,7 @@ class DecoderBlock(nn.Module):
             cfg, self.dtype, self.param_dtype, self.attn_impl,
             self.quant_bits, name="attn")(
                 mk_norm("input_norm")(x), positions, rope, cache_kv,
-                write_start, kv_len, causal, prefix_len)
+                write_start, kv_len, causal, prefix_len, uniform_write)
         x = x + h
         x = x + DecoderMLP(cfg, self.dtype, self.param_dtype,
                            self.quant_bits, name="mlp")(
@@ -297,7 +313,8 @@ class Decoder(nn.Module):
                  kv_len: Optional[jax.Array] = None,
                  causal: bool = True,
                  prefix_len: Optional[jax.Array] = None,
-                 logits_index: Optional[jax.Array] = None):
+                 logits_index: Optional[jax.Array] = None,
+                 uniform_write: bool = False):
         """``prefix_len`` [B]: prefix-LM masking — the first prefix_len
         positions attend bidirectionally, the rest causally.
         ``logits_index`` [B]: compute logits only at these positions
@@ -326,7 +343,8 @@ class Decoder(nn.Module):
             if cache is not None:
                 cache_kv = (cache["k"][i], cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
-                               write_start, kv_len, causal, prefix_len)
+                               write_start, kv_len, causal, prefix_len,
+                               uniform_write)
             if cache is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])

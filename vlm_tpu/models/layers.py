@@ -85,6 +85,7 @@ class Dense(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     quant_bits: int = 0
     quant_group: int = 128
+    int8_outliers: int = 32    # llm.int8 outlier budget for the prefill path
 
     @nn.compact
     def __call__(self, x):
@@ -124,12 +125,17 @@ class Dense(nn.Module):
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
             if self.quant_bits == 8 and x2.shape[0] >= 128:
                 # Compute-bound regime (prefill): llm.int8-style dynamic
-                # activation quantization → int8×int8 MXU (2x bf16 peak).
-                # Measured on v5e: the dynamic path LOSES in decode-size
-                # shapes (48.9 → 34.1 img/s device-only on 3B), so decode
-                # keeps the bf16-dequant kernel below.
-                from ..ops.quant import quant_matmul_dynamic
-                y = quant_matmul_dynamic(x2, qw, out_dtype=self.dtype)
+                # activation quantization → int8×int8 MXU (2x bf16 peak),
+                # with outlier decomposition — the highest-|x| input columns
+                # bypass int8 in bf16, exactly where bitsandbytes applies it
+                # (activation outliers wreck per-row scales; weight-only
+                # decode below never quantizes activations). Measured on
+                # v5e: the dynamic path LOSES in decode-size shapes
+                # (48.9 → 34.1 img/s device-only on 3B), so decode keeps
+                # the bf16-dequant kernel.
+                from ..ops.quant import quant_matmul_outlier
+                y = quant_matmul_outlier(x2, qw, n_outliers=self.int8_outliers,
+                                         out_dtype=self.dtype)
             else:
                 # Bandwidth-bound regime (decode) and int4: in-VMEM dequant
                 # to bf16 feeding the MXU.

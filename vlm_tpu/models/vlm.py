@@ -137,18 +137,26 @@ class VLMModule(nn.Module):
             input_embeds=embeds, positions=positions, cache=cache,
             write_start=write_start, kv_len=prompt_len,
             causal=not self.cfg.prefix_lm,
-            logits_index=prompt_len - 1)
+            logits_index=prompt_len - 1,
+            uniform_write=True)   # every prefill writes at offset 0
         return logits[:, 0], cache
 
     def decode_step(self, token_ids: jax.Array, seq_len: jax.Array,
-                    cache: Dict[str, jax.Array]):
+                    cache: Dict[str, jax.Array],
+                    uniform_write: bool = False):
         """One token per sequence. ``token_ids`` [B,1]; ``seq_len`` [B] is the
         current length (the new token's position). Returns
-        (logits [B, V], cache)."""
+        (logits [B, V], cache).
+
+        ``uniform_write=True`` (static) promises every sequence is at the
+        same position (wave decoding over a batch-constant prompt): the KV
+        write becomes a scalar-offset slice update instead of a full-cache
+        masked stream (~1 ms/step on 3B)."""
         positions = seq_len[:, None]
         logits, cache = self.decoder(
             input_ids=token_ids, positions=positions, cache=cache,
-            write_start=seq_len, kv_len=seq_len + 1, causal=False)
+            write_start=seq_len, kv_len=seq_len + 1, causal=False,
+            uniform_write=uniform_write)
         return logits[:, 0], cache
 
 

@@ -11,8 +11,10 @@ both matmuls, no streaming-softmax bookkeeping. Per-sequence valid-length
 masking (``kv_len``) is supported in-kernel so padded prefill batches run
 the fused path too.
 
-``attention(..., impl="xla")`` is the fallback used for CPU tests, gradients
-(probing with unfrozen backbone layers), and arbitrary additive biases.
+``attention(..., impl="xla")`` is the fallback used for CPU tests and
+arbitrary additive biases. The fused kernel is differentiable through a
+``custom_vjp`` (Pallas forward, XLA-derived recompute backward), so probe
+training with unfrozen backbone layers stays on the fused forward path.
 """
 
 from __future__ import annotations
@@ -168,6 +170,39 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
     return out.reshape(b, h, sq, d)
 
 
+# ------------------------- differentiable wrapper -------------------------
+#
+# The fused kernel has no Pallas backward; probe training with unfrozen
+# backbone layers (reference end-to-end mode,
+# `/root/reference/probing/train/singletask_trainer.py:142-180`) still wants
+# the fused FORWARD. custom_vjp keeps the Pallas kernel on the forward pass
+# and computes gradients by differentiating the (numerically equivalent) XLA
+# attention — recompute-based, so nothing extra is saved from the forward.
+# Training attention never uses kv_len/bias/prefix masks (full images, no
+# padding), so the differentiable wrapper covers exactly (q, k, v, causal).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_diff(q, k, v, causal: bool, heads: int):
+    return _flash_attention(q, k, v, None, causal=causal, heads=heads)
+
+
+def _flash_diff_fwd(q, k, v, causal, heads):
+    return _flash_attention(q, k, v, None, causal=causal, heads=heads), \
+        (q, k, v)
+
+
+def _flash_diff_bwd(causal, heads, res, g):
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, causal=causal, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False,
               kv_len: Optional[jax.Array] = None,
@@ -199,6 +234,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             raise ValueError(
                 "flash impl does not support additive bias / prefix masks / "
                 "bshd kv layout")
+        if kv_len is None:
+            # differentiable: fused forward + XLA-derived backward
+            return _flash_attention_diff(q, k, v, causal, q.shape[1])
         return _flash_attention(q, k, v, kv_len, causal=causal,
                                 heads=q.shape[1])
     return _xla_attention(q, k, v, causal=causal, scale=scale,

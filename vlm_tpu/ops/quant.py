@@ -186,6 +186,44 @@ def quant_matmul_dynamic(x: jax.Array, qw: QuantizedWeight, *,
     return (acc.astype(jnp.float32) * sx * qw.scale).astype(out_dtype)
 
 
+# ------------------------- llm.int8 outlier decomposition ----------------
+
+def quant_matmul_outlier(x: jax.Array, qw: QuantizedWeight, *,
+                         n_outliers: int = 32,
+                         out_dtype=None,
+                         use_pallas: bool | None = None) -> jax.Array:
+    """llm.int8-style matmul with outlier decomposition
+    (Dettmers et al. 2022 — the scheme bitsandbytes' ``load_in_8bit`` runs,
+    `/root/reference/models/base_model.py:85-91`).
+
+    Activation columns with the largest magnitudes (emergent outlier
+    features) destroy per-row int8 activation scales. The ``n_outliers``
+    highest-|x| input columns are therefore computed in bf16 against the
+    dequantized weight rows, and only the well-behaved remainder goes
+    through the int8×int8 MXU path. Static shapes throughout (fixed
+    outlier budget → jit-stable), unlike bitsandbytes' dynamic
+    threshold-6.0 selection; budget 32 covers the reported outlier counts
+    for ≤13B models.
+    """
+    assert qw.group_size == 0, "outlier decomposition requires int8 weights"
+    out_dtype = out_dtype or x.dtype
+    k = x.shape[-1]
+    n_out = min(n_outliers, k)
+    col_mag = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=0)     # [K]
+    _, idx = jax.lax.top_k(col_mag, n_out)                        # [n_out]
+    # bf16 path for the outlier columns
+    x_out = jnp.take(x, idx, axis=-1)                             # [m, n_out]
+    w_rows = jnp.take(qw.q, idx, axis=0).astype(jnp.float32) * qw.scale
+    y_out = jnp.dot(x_out.astype(jnp.bfloat16),
+                    w_rows.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    # int8 path for everything else (outlier columns zeroed → contribute 0)
+    mask = jnp.ones((k,), x.dtype).at[idx].set(0)
+    y_int8 = quant_matmul_dynamic(x * mask, qw, out_dtype=jnp.float32,
+                                  use_pallas=use_pallas)
+    return (y_int8 + y_out).astype(out_dtype)
+
+
 # ------------------------- matmul kernels -------------------------
 
 def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref):
@@ -236,29 +274,117 @@ def _int8_matmul_pallas(x, q, scale, *, block_m=256, block_n=512,
     return out[:m, :n]
 
 
+def _int4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *,
+                        rows_per_group: int, mxu_dtype=jnp.bfloat16):
+    """Fused int4 dequant-matmul tile.
+
+    The weight arrives packed two-nibbles-per-byte along the input dim
+    (packed row i holds original rows 2i in the low nibble, 2i+1 in the
+    high). Instead of re-interleaving in VMEM, the contraction is split:
+
+        y = x[:, 0::2] @ LO + x[:, 1::2] @ HI
+
+    where LO/HI are the sign-extended nibble planes — two MXU dots against
+    operands produced entirely in VMEM, no [K, n] fp weight ever exists in
+    HBM. Group scales (groups along the input dim) collapse to one scale
+    row per ``rows_per_group = group_size // 2`` packed rows, identical for
+    both planes.
+    """
+    a = q_ref[:].astype(jnp.int32)                       # [bk2, bn]
+    lo = ((a << 28) >> 28).astype(jnp.float32)
+    hi = (a >> 4).astype(jnp.float32)
+    s = s_ref[:]                                         # [g_tile, bn] f32
+    srep = jnp.repeat(s, rows_per_group, axis=0).astype(jnp.float32)
+    wlo = (lo * srep).astype(mxu_dtype)
+    whi = (hi * srep).astype(mxu_dtype)
+    acc = jax.lax.dot_general(
+        xe_ref[:].astype(mxu_dtype), wlo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(
+        xo_ref[:].astype(mxu_dtype), whi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_n", "out_dtype"))
+def _int4_matmul_pallas(x, q, scale, *, group_size, block_m=256,
+                        block_n=256, out_dtype=jnp.float32):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    k2, n = q.shape                                       # k2 = k // 2
+    g = scale.shape[0]
+    rows_per_group = group_size // 2
+
+    bm = min(block_m, max(8, m))
+    bn = min(block_n, n)
+    pad_m = (-m) % bm
+    pad_n = (-n) % bn
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+    if pad_m:
+        xe = jnp.pad(xe, ((0, pad_m), (0, 0)))
+        xo = jnp.pad(xo, ((0, pad_m), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, pad_n))) if pad_n else q
+    sp = jnp.pad(scale, ((0, 0), (0, pad_n))) if pad_n else scale
+
+    # Interpret mode (CPU backend) compiles the kernel body with XLA:CPU,
+    # whose DotThunk cannot execute bf16×bf16→f32; run the check-mode dots
+    # in f32 (real TPU runs feed the MXU bf16 at full rate).
+    kernel = functools.partial(
+        _int4_matmul_kernel, rows_per_group=rows_per_group,
+        mxu_dtype=jnp.float32 if pallas_interpret() else jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m + pad_m, n + pad_n), out_dtype),
+        grid=(pl.cdiv(m + pad_m, bm), pl.cdiv(n + pad_n, bn)),
+        in_specs=[
+            pl.BlockSpec((bm, k2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=pallas_interpret(),
+    )(xe, xo, qp, sp)
+    return out[:m, :n]
+
+
 def quant_matmul(x: jax.Array, qw: QuantizedWeight, *,
                  out_dtype=None, use_pallas: bool | None = None) -> jax.Array:
     """``x @ dequant(qw)``: [m, in] × [in, out] → [m, out].
 
-    On TPU the int8 path runs the fused Pallas kernel; int4 and off-TPU use
-    the jnp dequant fallback (XLA still fuses the dequant into the matmul's
-    operand stream).
+    On TPU both int8 (per-channel) and int4 (grouped, packed) run fused
+    Pallas dequant-in-VMEM kernels; off-TPU uses the jnp dequant fallback
+    (same numerics, XLA fuses the dequant into the matmul's operand stream).
     """
     out_dtype = out_dtype or x.dtype
     if use_pallas is None:
-        # The kernel keeps an [block_m, K] x-tile plus a [K, block_n] weight
-        # tile in VMEM; shrink the n tile for wide contractions so both fit
-        # the ~16 MB budget.
+        # The kernels keep [block_m, K]-shaped x tiles plus a [K, block_n]
+        # weight tile in VMEM; shrink tiles for wide contractions so both
+        # fit the ~16 MB budget.
         use_pallas = (jax.devices()[0].platform == "tpu"
-                      and qw.group_size == 0
                       and x.ndim == 2
                       and x.shape[1] <= 16384)
+    wide = x.shape[1] > 8192
     if use_pallas and qw.group_size == 0:
-        wide = x.shape[1] > 8192
         return _int8_matmul_pallas(
             x, qw.q, qw.scale,
             block_m=128 if wide else 256,
             block_n=128 if wide else 512,
+            out_dtype=jnp.float32).astype(out_dtype)
+    if use_pallas and qw.group_size > 0:
+        return _int4_matmul_pallas(
+            x, qw.q, qw.scale, group_size=qw.group_size,
+            block_m=64 if wide else 256,
+            block_n=128 if wide else 256,
             out_dtype=jnp.float32).astype(out_dtype)
     w = dequantize(qw, dtype=jnp.bfloat16 if out_dtype == jnp.bfloat16
                    else jnp.float32)
