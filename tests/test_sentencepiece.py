@@ -1,0 +1,198 @@
+"""Tests for the dependency-free SentencePiece reader/encoder/decoder.
+
+No pretrained tokenizer.model is reachable here (zero egress), so each test
+serializes a small but REAL ModelProto with an independent wire-format
+writer (below) and checks the documented SentencePiece semantics: unigram
+Viterbi segmentation, BPE merge order (scores = -merge_rank), byte fallback,
+control-piece handling, whitespace escaping/dummy prefix, and the
+load_tokenizer integration.
+"""
+
+import struct
+
+import pytest
+
+from vlm_tpu.data.sentencepiece import (BPE, BYTE, CONTROL, NORMAL, UNIGRAM,
+                                        UNKNOWN, SentencePieceTokenizer,
+                                        parse_model_proto)
+from vlm_tpu.data.tokenizer import SPTokenizer, load_tokenizer
+
+
+# --------------------- minimal protobuf writer (test-only) ---------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    if v < 0:
+        v += 1 << 64
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _piece(text: str, score: float, ptype: int = NORMAL) -> bytes:
+    msg = _ld(1, text.encode("utf-8"))
+    msg += _key(2, 5) + struct.pack("<f", score)
+    if ptype != NORMAL:
+        msg += _key(3, 0) + _varint(ptype)
+    return msg
+
+
+def build_model(pieces, model_type=UNIGRAM, unk_id=0, bos_id=1, eos_id=2,
+                pad_id=-1, byte_fallback=False, add_dummy_prefix=True,
+                escape_ws=True, remove_extra_ws=True) -> bytes:
+    buf = b"".join(_ld(1, _piece(*p)) for p in pieces)
+    trainer = (_key(3, 0) + _varint(model_type) +
+               _key(35, 0) + _varint(int(byte_fallback)) +
+               _key(40, 0) + _varint(unk_id) +
+               _key(41, 0) + _varint(bos_id) +
+               _key(42, 0) + _varint(eos_id) +
+               _key(43, 0) + _varint(pad_id))
+    norm = (_key(3, 0) + _varint(int(add_dummy_prefix)) +
+            _key(4, 0) + _varint(int(remove_extra_ws)) +
+            _key(5, 0) + _varint(int(escape_ws)))
+    return buf + _ld(2, trainer) + _ld(3, norm)
+
+
+SPECIALS = [("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, CONTROL),
+            ("</s>", 0.0, CONTROL)]
+
+
+def _unigram_model(**kw):
+    # ids: 0..2 specials, then vocab
+    pieces = SPECIALS + [
+        ("▁", -3.0),            # 3: lone ▁
+        ("▁hello", -1.0),       # 4
+        ("he", -2.0),                # 5
+        ("llo", -2.0),               # 6
+        ("▁world", -1.5),       # 7
+        ("w", -4.0),                 # 8
+        ("o", -4.0),                 # 9
+        ("r", -4.0),                 # 10
+        ("l", -4.0),                 # 11
+        ("d", -4.0),                 # 12
+        ("▁h", -5.0),           # 13
+        ("e", -4.0),                 # 14
+    ]
+    return build_model(pieces, **kw)
+
+
+class TestProtoParsing:
+    def test_roundtrip_fields(self):
+        m = parse_model_proto(_unigram_model(pad_id=-1))
+        assert m.model_type == UNIGRAM
+        assert (m.unk_id, m.bos_id, m.eos_id, m.pad_id) == (0, 1, 2, -1)
+        assert m.pieces[4].text == "▁hello"
+        assert m.pieces[4].score == pytest.approx(-1.0)
+        assert m.pieces[1].type == CONTROL
+        assert m.add_dummy_prefix and m.escape_whitespaces
+
+
+class TestUnigram:
+    def _tok(self):
+        return SentencePieceTokenizer(parse_model_proto(_unigram_model()))
+
+    def test_viterbi_prefers_high_score_segmentation(self):
+        tok = self._tok()
+        # "▁hello" (-1.0) beats "▁h"+"e"+"llo" (-5-4-2) and "▁"+"he"+"llo"
+        assert tok.encode("hello") == [4]
+        assert tok.encode("hello world") == [4, 7]
+
+    def test_multi_piece_segmentation(self):
+        tok = self._tok()
+        # "word" has no single piece: ▁w o r d
+        ids = tok.encode("word")
+        texts = [tok.model.pieces[i].text for i in ids]
+        assert "".join(texts) == "▁word"
+
+    def test_unknown_char_maps_to_unk(self):
+        tok = self._tok()
+        ids = tok.encode("hello¢")
+        assert ids[0] == 4 and tok.unk_id in ids
+
+    def test_bos(self):
+        tok = self._tok()
+        assert tok.encode("hello", add_bos=True) == [1, 4]
+
+    def test_decode_restores_text(self):
+        tok = self._tok()
+        assert tok.decode(tok.encode("hello world")) == "hello world"
+        # control tokens are skipped
+        assert tok.decode([1, 4, 7, 2]) == "hello world"
+
+    def test_extra_whitespace_collapsed(self):
+        tok = self._tok()
+        assert tok.encode("  hello   world ") == tok.encode("hello world")
+
+
+class TestBPE:
+    def _tok(self):
+        # BPE scores are -merge_rank: merge "h"+"e" first, then "he"+"l"
+        pieces = SPECIALS + [
+            ("▁", -100.0),      # 3
+            ("h", -100.0), ("e", -100.0), ("l", -100.0), ("o", -100.0),
+            ("he", -1.0),            # 8: rank 1
+            ("hel", -2.0),           # 9: rank 2
+            ("lo", -3.0),            # 10
+            ("helo", -50.0),
+        ]
+        data = build_model(pieces, model_type=BPE, add_dummy_prefix=False)
+        return SentencePieceTokenizer(parse_model_proto(data))
+
+    def test_merge_order_follows_scores(self):
+        tok = self._tok()
+        ids = tok.encode("helo")
+        texts = [tok.model.pieces[i].text for i in ids]
+        # he+lo? merges: "he" (-1) first -> [he, l, o]; then "hel"(-2)
+        # needs he+l -> "hel" exists -> [hel, o]; "helo" (-50) last
+        assert texts == ["helo"]
+
+    def test_partial_merge(self):
+        tok = self._tok()
+        ids = tok.encode("hell")
+        texts = [tok.model.pieces[i].text for i in ids]
+        assert texts == ["hel", "l"]
+
+
+class TestByteFallback:
+    def _tok(self):
+        pieces = SPECIALS + [("▁", -3.0), ("▁hi", -1.0)] + \
+            [(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)]
+        data = build_model(pieces, byte_fallback=True)
+        return SentencePieceTokenizer(parse_model_proto(data))
+
+    def test_oov_char_becomes_bytes_and_decodes_back(self):
+        tok = self._tok()
+        ids = tok.encode("hi¢")
+        assert ids[0] == 4
+        # ¢ = 0xC2 0xA2 in UTF-8 → two byte pieces
+        byte_ids = ids[1:]
+        assert len(byte_ids) == 2
+        assert tok.decode(ids) == "hi¢"
+
+
+class TestLoadTokenizerIntegration:
+    def test_tokenizer_model_file_loads_without_transformers(self, tmp_path):
+        (tmp_path / "tokenizer.model").write_bytes(_unigram_model())
+        tok = load_tokenizer(str(tmp_path))
+        assert isinstance(tok, SPTokenizer)
+        assert tok.encode("hello", add_bos=True) == [1, 4]
+        assert tok.decode([4, 7]) == "hello world"
+
+    def test_direct_model_file_path(self, tmp_path):
+        f = tmp_path / "tokenizer.model"
+        f.write_bytes(_unigram_model())
+        tok = load_tokenizer(str(f))
+        assert isinstance(tok, SPTokenizer)

@@ -50,6 +50,25 @@ class ByteTokenizer:
         return data.decode("utf-8", errors="replace")
 
 
+class SPTokenizer:
+    """Loads a SentencePiece ``tokenizer.model`` with the pure-Python reader
+    (`vlm_tpu.data.sentencepiece`) — no transformers/sentencepiece
+    dependency. This is what real Gemma/LLaMA checkpoint directories ship."""
+
+    def __init__(self, model_file: str):
+        from .sentencepiece import SentencePieceTokenizer
+        self._sp = SentencePieceTokenizer.from_file(model_file)
+        self.bos_id = self._sp.bos_id if self._sp.bos_id >= 0 else 1
+        self.eos_id = self._sp.eos_id if self._sp.eos_id >= 0 else 2
+        self.pad_id = self._sp.pad_id
+
+    def encode(self, text: str, add_bos: bool = False) -> List[int]:
+        return self._sp.encode(text, add_bos=add_bos)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._sp.decode(ids)
+
+
 class HFTokenizer:
     """Wraps a local HF tokenizer (no hub access — local files only)."""
 
@@ -74,12 +93,25 @@ class HFTokenizer:
 def load_tokenizer(model_path: Optional[str] = None,
                    *, bos_id: int = 1, eos_id: int = 2,
                    pad_id: int = 0) -> Tokenizer:
-    """HF tokenizer from ``model_path`` (or ``$VLM_TPU_TOKENIZER``) if local
-    files exist; otherwise the byte-level fallback."""
+    """Tokenizer from ``model_path`` (or ``$VLM_TPU_TOKENIZER``): HF
+    tokenizer files when transformers can load them, else a raw
+    SentencePiece ``tokenizer.model`` via the dependency-free reader, else
+    the byte-level fallback."""
     path = model_path or os.getenv("VLM_TPU_TOKENIZER")
     if path and Path(path).exists():
+        p = Path(path)
+        sp_file = p if p.is_file() and p.suffix == ".model" else \
+            p / "tokenizer.model"
         try:
-            return HFTokenizer(path)
+            return HFTokenizer(str(p))
         except Exception as e:
-            print(f"[WARN] HF tokenizer load failed ({e}); using byte fallback")
+            if not sp_file.exists():
+                print(f"[WARN] HF tokenizer load failed ({e}); "
+                      f"using byte fallback")
+        if sp_file.exists():
+            try:
+                return SPTokenizer(str(sp_file))
+            except Exception as e:
+                print(f"[WARN] sentencepiece load failed ({e}); "
+                      f"using byte fallback")
     return ByteTokenizer(bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
