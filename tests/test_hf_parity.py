@@ -157,3 +157,51 @@ def test_greedy_token_parity(pair):
         got_row = [int(t) for t in toks[i, :lens[i]]]
         assert got_row == ref_row, (
             f"{family} row {i}: ours {got_row} vs HF {ref_row}")
+
+
+def test_beam_search_token_parity(pair):
+    family, hf, ours = pair
+    from vlm_tpu.generate.beam import BeamSearchEngine
+    px = rand_pixels(BATCH, ours.cfg.vision.image_size, seed=13)
+    input_ids, attn = _hf_inputs(family, hf, ours, PROMPT, BATCH)
+    eos = ours.cfg.decoder.eos_token_id
+    K, NEW = 2, 12
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=input_ids, pixel_values=torch.from_numpy(px),
+            attention_mask=attn, do_sample=False, num_beams=K,
+            max_new_tokens=NEW, pad_token_id=0, use_cache=True,
+            length_penalty=1.0, early_stopping=False)
+    out = out.numpy()
+    if out.shape[1] >= input_ids.shape[1] and np.array_equal(
+            out[:, :input_ids.shape[1]], input_ids.numpy()):
+        hf_new = out[:, input_ids.shape[1]:]
+    else:
+        hf_new = out
+
+    pre_ids, post_ids, prompt_len = _our_prompt_arrays(ours, PROMPT, BATCH)
+    engine = BeamSearchEngine(
+        ours.module, ours.cfg, batch_size=BATCH,
+        max_prompt_len=int(prompt_len[0]), num_beams=K, max_new_tokens=NEW,
+        length_penalty=1.0, cache_dtype=jnp.float32, eos_id=eos, pad_id=0)
+    res = engine.generate(ours.params, jnp.asarray(px.transpose(0, 2, 3, 1)),
+                          pre_ids, post_ids, prompt_len)
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+
+    for i in range(BATCH):
+        ref_row = [int(t) for t in hf_new[i]]
+        # HF appends EOS to the chosen hypothesis and pads; ours excludes it
+        ref_trim = []
+        for t in ref_row:
+            if t == eos:
+                break
+            ref_trim.append(t)
+        # HF pads with pad_token_id=0 after EOS; strip trailing pads when no
+        # EOS was emitted
+        if eos not in ref_row:
+            while ref_trim and ref_trim[-1] == 0:
+                ref_trim.pop()
+        got_row = [int(t) for t in toks[i, :lens[i]]]
+        assert got_row == ref_trim, (
+            f"{family} beam row {i}: ours {got_row} vs HF {ref_trim}")

@@ -139,8 +139,11 @@ class VLMModel:
         return self._engines[key]
 
     def generate_batch(self, images: Sequence[Image.Image], prompt: str,
-                       max_tokens: int = 100) -> List[str]:
-        """Batched generate: one prefill + one decode loop for the batch."""
+                       max_tokens: int = 100,
+                       num_beams: int = 1) -> List[str]:
+        """Batched generate: one prefill + one decode loop for the batch.
+        ``num_beams > 1`` runs beam search with HF ``generate`` semantics
+        (token-parity tested in tests/test_hf_parity.py)."""
         n = len(images)
         batch = host_batch(images, self.recipe)
         pixels = normalize_images(jnp.asarray(batch), recipe=self.recipe,
@@ -149,9 +152,23 @@ class VLMModel:
         pre_ids, post_ids, prompt_len = build_prompt_ids(
             self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), n,
             add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
-        engine = self._engine(n, int(prompt_len[0]), max_tokens)
-        result = engine.generate(self.params, pixels, pre_ids, post_ids,
-                                 prompt_len)
+        if num_beams > 1:
+            from ..generate.beam import BeamSearchEngine
+            key = ("beam", n, int(prompt_len[0]), max_tokens, num_beams)
+            if key not in self._engines:
+                self._engines[key] = BeamSearchEngine(
+                    self.module, self.cfg, batch_size=n,
+                    max_prompt_len=int(prompt_len[0]), num_beams=num_beams,
+                    max_new_tokens=max_tokens,
+                    cache_dtype=self.policy.compute_dtype,
+                    eos_id=self.tokenizer.eos_id,
+                    pad_id=self.tokenizer.pad_id)
+            result = self._engines[key].generate(
+                self.params, pixels, pre_ids, post_ids, prompt_len)
+        else:
+            engine = self._engine(n, int(prompt_len[0]), max_tokens)
+            result = engine.generate(self.params, pixels, pre_ids, post_ids,
+                                     prompt_len)
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
         out = []
