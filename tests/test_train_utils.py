@@ -169,3 +169,32 @@ class TestCheckpointHelpers:
 
     def test_load_missing_returns_none(self, tmp_path):
         assert tu.load_state(tmp_path / "nope.msgpack") is None
+
+
+class TestTypedBatch:
+    def test_dict_batch_counts(self):
+        from vlm_tpu.probing.train.data import Batch
+        b = Batch(["i1", "i2", "i3"],
+                  [{"gender": 1, "age": -1}, {"gender": -1},
+                   {"gender": 0, "age": 3}], kind="dicts")
+        assert b.valid_counts(["gender", "age"]) == {"gender": 2, "age": 1}
+        # tuple-style unpacking still works
+        inputs, targets = b
+        assert inputs == ["i1", "i2", "i3"] and len(targets) == 3
+
+    def test_array_batch_counts(self):
+        import numpy as np
+
+        from vlm_tpu.probing.train.data import Batch
+        b = Batch(np.zeros((4, 8)), np.asarray([0, -1, 2, 1]), kind="array")
+        assert b.valid_counts(["gender"]) == {"gender": 3}
+
+    def test_loaders_yield_typed_batches(self):
+        import numpy as np
+
+        from vlm_tpu.probing.train.data import ArrayBatchLoader, Batch
+        loader = ArrayBatchLoader(np.zeros((5, 3)), np.asarray(
+            [0, 1, -1, 2, 0]), batch_size=3)
+        batches = list(loader)
+        assert all(isinstance(b, Batch) and b.kind == "array"
+                   for b in batches)

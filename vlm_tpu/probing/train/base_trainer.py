@@ -120,26 +120,15 @@ class BaseTrainer:
 
     def batch_valid_counts(self, loss_dict, batch) -> Dict[str, int]:
         """Per-task number of valid (label != -1) samples in the batch, used
-        to weight the epoch aggregation (reference: base_trainer.py:234-255)."""
-        counts = {}
-        targets_list = None
-        if isinstance(batch, (list, tuple)) and len(batch) > 1 and \
-                isinstance(batch[1], list):
-            targets_list = batch[1]
-        for k in loss_dict:
-            n = 1
-            if targets_list is not None:
-                try:
-                    ys = [t.get(k, -1) for t in targets_list]
-                    n = int(sum(1 for y in ys
-                                if y is not None and int(y) != -1))
-                except Exception:
-                    n = len(targets_list)
-            elif isinstance(batch, (list, tuple)) and len(batch) > 1:
-                y = np.asarray(batch[1])
-                n = int((y != -1).sum()) if y.ndim else 1
-            counts[k] = n
-        return counts
+        to weight the epoch aggregation (reference: base_trainer.py:234-255).
+
+        Batches are typed (:class:`vlm_tpu.probing.train.data.Batch`
+        declares its target representation), so no shape sniffing: anything
+        else aggregates unweighted."""
+        from .data import Batch
+        if isinstance(batch, Batch):
+            return batch.valid_counts(list(loss_dict))
+        return {k: 1 for k in loss_dict}
 
     # ----- fit loop (reference: base_trainer.py:95-155) -----
     def fit(self):

@@ -13,9 +13,46 @@ Two loaders:
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+import dataclasses
+from typing import Any, Dict, Iterator, List, Tuple
 
 import numpy as np
+
+
+@dataclasses.dataclass
+class Batch:
+    """Typed training batch: declares its target representation instead of
+    leaving consumers to sniff shapes (the reference's `_accumulate`
+    try/except idiom, base_trainer.py:234-246, masked real format bugs).
+
+    ``kind``:
+      - ``"dicts"``: ``targets`` is ``list[dict[task, label]]`` (image
+        loaders; -1/None = missing);
+      - ``"array"``: ``targets`` is a dense ``np.ndarray`` of labels for a
+        single task (cached-feature loaders).
+
+    Unpacks like the 2-tuple it replaces: ``inputs, targets = batch``.
+    """
+    inputs: Any
+    targets: Any
+    kind: str = "dicts"
+
+    def __iter__(self):
+        yield self.inputs
+        yield self.targets
+
+    def valid_counts(self, tasks: List[str]) -> Dict[str, int]:
+        """Per-task count of valid (label != -1) samples."""
+        if self.kind == "array":
+            y = np.asarray(self.targets)
+            n = int((y != -1).sum()) if y.ndim else 1
+            return {k: n for k in tasks}
+        counts: Dict[str, int] = {}
+        for k in tasks:
+            counts[k] = sum(
+                1 for t in self.targets
+                if t.get(k, -1) is not None and int(t.get(k, -1)) != -1)
+        return counts
 
 
 class ImageBatchLoader:
@@ -37,15 +74,15 @@ class ImageBatchLoader:
             return self._rng.permutation(len(self.dataset)).tolist()
         return list(range(len(self.dataset)))
 
-    def _load(self, idxs) -> Tuple[list, list]:
+    def _load(self, idxs) -> Batch:
         images, targets = [], []
         for i in idxs:
             img, tgt = self.dataset[i]
             images.append(img)
             targets.append(tgt)
-        return images, targets
+        return Batch(images, targets, kind="dicts")
 
-    def __iter__(self) -> Iterator[Tuple[list, list]]:
+    def __iter__(self) -> Iterator[Batch]:
         order = self._order()
         bs = self.batch_size
         chunks = [order[s:s + bs] for s in range(0, len(order), bs)]
@@ -85,7 +122,7 @@ class ArrayBatchLoader:
         bs = self.batch_size
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
-            yield self.x[idx], self.y[idx]
+            yield Batch(self.x[idx], self.y[idx], kind="array")
 
     def __len__(self):
         return (len(self.x) + self.batch_size - 1) // self.batch_size

@@ -281,18 +281,11 @@ class MultiTaskTrainer(BaseTrainer):
         (reference: multitask_trainer.py:248-263)."""
         if not (self.use_running_means and self.rm is not None):
             return
-        try:
-            targets_list = batch[1]
-        except Exception:
-            return
+        from .data import Batch
+        counts = batch.valid_counts(self.tasks) if isinstance(batch, Batch) \
+            else {}
         for idx, t in enumerate(self.tasks):
-            try:
-                ys = [ti.get(t, -1) for ti in targets_list]
-                n_valid = sum(1 for y in ys
-                              if y is not None and int(y) != -1)
-            except Exception:
-                n_valid = 0
-            if n_valid > 0 and np.isfinite(loss_dict[t]):
+            if counts.get(t, 0) > 0 and np.isfinite(loss_dict[t]):
                 self.rm.update_by_idx(float(loss_dict[t]), idx)
 
     # ------------ per-batch ------------
