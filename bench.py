@@ -139,9 +139,11 @@ def main():
         log(f"[bench] sequential batch-1: {seq_ips:.3f} img/s")
 
     # ---------- continuous batcher (HEADLINE) ----------
+    admit = int(os.environ.get("VLM_TPU_BENCH_ADMIT", "0")) or None
     batcher = ContinuousBatcher(
         model.module, model.cfg, batch_size=batch,
         max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
+        admit_block=admit,
         cache_dtype=model.policy.compute_dtype,
         eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
     # compile (prefill group + decode step) on a short run

@@ -185,3 +185,51 @@ class TestFlashGradients:
         val, _ = jax.value_and_grad(f)(q)
         ref = jnp.sum(attention(q, k, v, impl="flash") ** 2)
         assert float(jnp.abs(val - ref)) < 1e-5
+
+
+class TestKVScatterWrite:
+    """Pallas per-slot cache writes == the masked-select reference."""
+
+    def _mk(self, b=5, max_len=16, h=2, d=128, s=1, seed=0):
+        rng = np.random.default_rng(seed)
+        ck = jnp.asarray(rng.normal(size=(b, max_len, h, d)), jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(b, max_len, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        start = jnp.asarray(rng.integers(0, max_len - s + 1, size=b),
+                            jnp.int32)
+        return ck, cv, k, v, start
+
+    def test_matches_masked_reference(self):
+        from vlm_tpu.ops.kvcache import kv_masked_write, kv_scatter_write
+        ck, cv, k, v, start = self._mk()
+        ref_k = kv_masked_write(ck, k, start)
+        ref_v = kv_masked_write(cv, v, start)
+        got_k, got_v = kv_scatter_write(ck, cv, k, v, start)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+    def test_bf16_and_duplicate_offsets(self):
+        from vlm_tpu.ops.kvcache import kv_masked_write, kv_scatter_write
+        ck, cv, k, v, _ = self._mk(seed=3)
+        ck, cv = ck.astype(jnp.bfloat16), cv.astype(jnp.bfloat16)
+        start = jnp.asarray([4, 4, 0, 15, 7], jnp.int32)
+        ref_k = kv_masked_write(ck, k, start)
+        got_k, got_v = kv_scatter_write(ck, cv, k, v, start)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        assert got_k.dtype == jnp.bfloat16
+
+    def test_under_jit_inside_decode_shape(self):
+        # the decoder calls this inside jit with donated caches
+        from vlm_tpu.ops.kvcache import kv_scatter_write
+
+        @jax.jit
+        def step(ck, cv, k, v, start):
+            return kv_scatter_write(ck, cv, k, v, start)
+
+        ck, cv, k, v, start = self._mk(b=3, max_len=8, h=1, d=128)
+        got_k, got_v = step(ck, cv, k, v, start)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got_k[i, int(start[i]), :, :]),
+                np.asarray(k[i, 0]), rtol=0, atol=0)

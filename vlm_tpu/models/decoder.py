@@ -82,42 +82,40 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
             "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.layers))}
 
 
-def _write_cache(cache_layer: jax.Array, new: jax.Array,
-                 start: jax.Array, uniform: bool = False) -> jax.Array:
-    """Write ``new`` [B, H, S, D] into ``cache_layer`` [B, max, H, D] at
-    per-sequence offsets ``start`` [B].
+def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
+              start: jax.Array, uniform: bool = False):
+    """Write ``k``/``v`` [B, H, S, D] into caches [B, max, H, D] at
+    per-sequence offsets ``start`` [B]. Returns the updated (ck, cv).
 
-    Implemented as a vectorized masked select over the length axis rather
-    than a vmapped ``dynamic_update_slice``: per-batch dynamic offsets lower
-    to TPU scatter ops that serialize (measured ~3 ms per layer on v5e);
-    the masked write streams the cache layer once at full HBM bandwidth.
+    Three paths, all O(new) on the hot configurations:
 
-    ``uniform=True`` (static) asserts every sequence writes at the same
-    offset — true for prefill (all start at 0) and for wave-engine decode
-    (prompts are batch-constant). Then a single scalar-offset
-    ``dynamic_update_slice`` writes only the new rows instead of streaming
-    the whole cache layer (the masked write costs ~1 ms/step on 3B decode;
-    the uniform write is O(new)).
+    - ``uniform=True`` (static) asserts every sequence writes at the same
+      offset — true for prefill (all start at 0) and for wave-engine decode
+      (prompts are batch-constant). A single scalar-offset
+      ``dynamic_update_slice`` writes only the new rows.
+    - non-uniform decode (S == 1, the continuous batcher: every slot is at
+      its own length) on TPU: the Pallas scatter-write kernel
+      (:func:`vlm_tpu.ops.kvcache.kv_scatter_write`) — per-sequence rows via
+      scalar-prefetched offsets, cache aliased in place. The XLA
+      alternatives are a vmapped ``dynamic_update_slice`` (lowers to TPU
+      scatters that serialize, ~3 ms/layer measured) or a masked select
+      (streams the full cache layer: ~3.5 GB/step at batch 128 on 3B).
+    - anything else: the masked-select fallback (full-layer stream, correct
+      everywhere).
     """
+    k = k.transpose(0, 2, 1, 3)                        # [B, S, H, D]
+    v = v.transpose(0, 2, 1, 3)
     if uniform:
-        upd = new.transpose(0, 2, 1, 3).astype(cache_layer.dtype)
         zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(
-            cache_layer, upd, (zero, start[0].astype(jnp.int32), zero, zero))
-    b, h, s, d = new.shape
-    max_len = cache_layer.shape[1]
-    new = new.transpose(0, 2, 1, 3)                   # [B, S, H, D]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len, 1, 1), 1)
-    rel = pos - start[:, None, None, None]            # [B,max,1,1]
-    in_window = (rel >= 0) & (rel < s)
-    if s == 1:
-        update = jnp.broadcast_to(new, (b, max_len, h, d))
-    else:
-        # Gather each cache slot's source row from `new` (clip keeps the
-        # gather in-bounds; out-of-window slots are masked off anyway).
-        idx = jnp.clip(rel[:, :, 0, 0], 0, s - 1)     # [B, max]
-        update = jnp.take_along_axis(new, idx[:, :, None, None], axis=1)
-    return jnp.where(in_window, update, cache_layer)
+        off = (zero, start[0].astype(jnp.int32), zero, zero)
+        return (jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), off),
+                jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), off))
+    from ..ops._compat import pallas_interpret
+    from ..ops.kvcache import kv_masked_write, kv_scatter_write
+    if k.shape[1] == 1 and (jax.devices()[0].platform == "tpu"
+                            or pallas_interpret()):
+        return kv_scatter_write(ck, cv, k, v, start)
+    return (kv_masked_write(ck, k, start), kv_masked_write(cv, v, start))
 
 
 # ------------------------- modules -------------------------
@@ -154,10 +152,9 @@ class DecoderAttention(nn.Module):
         kv_layout = "bhsd"
         if cache_kv is not None:
             ck, cv = cache_kv                      # [B, max, kvH, D]
-            ck = _write_cache(ck, k.astype(ck.dtype), write_start,
-                              uniform=uniform_write)
-            cv = _write_cache(cv, v.astype(cv.dtype), write_start,
-                              uniform=uniform_write)
+            ck, cv = _write_kv(ck, cv, k.astype(ck.dtype),
+                               v.astype(cv.dtype), write_start,
+                               uniform=uniform_write)
             new_cache = (ck, cv)
             if s == 1:
                 # decode step: attend over the cache (in its native

@@ -1,0 +1,98 @@
+"""Per-slot KV-cache scatter writes (Pallas).
+
+The continuous batcher's decode step writes one new K/V row per sequence at a
+*per-sequence* offset (each slot is at its own length — SURVEY.md §7
+"Continuous batching"). The two XLA-expressible forms are both wrong on TPU:
+
+- vmapped ``dynamic_update_slice`` lowers to scatters that serialize
+  (measured ~3 ms/layer on v5e, round 1);
+- a masked select streams the *entire* cache layer through HBM every step
+  (read + write); at batch 128 on a 3B model that is ~3.5 GB/step of pure
+  overhead.
+
+This kernel makes the write O(new): grid over the batch, the per-sequence
+write offset arrives via scalar prefetch and selects the one target row of
+the cache through the output ``index_map``; ``input_output_aliases`` keeps
+the rest of the (donated) cache in place. Traffic per step: B rows, not
+B × max_len.
+
+The wave engine never needs this — its slots advance in lockstep, so a
+scalar-offset ``dynamic_update_slice`` already writes O(new)
+(`vlm_tpu/models/decoder.py` ``uniform_write``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._compat import pallas_interpret
+
+
+def _write_kernel(start_ref, k_new_ref, v_new_ref, k_in_ref, v_in_ref,
+                  k_out_ref, v_out_ref):
+    del start_ref, k_in_ref, v_in_ref      # consumed by the index maps
+    k_out_ref[:] = k_new_ref[:]
+    v_out_ref[:] = v_new_ref[:]
+
+
+def _kv_scatter_write_tpu(k_cache, v_cache, k_new, v_new, start):
+    b, _, h, d = k_cache.shape
+    s = k_new.shape[1]
+    # Block = the S new rows of one sequence. The output index_map points
+    # dim 1 at this sequence's write offset (block index == element index
+    # only because the block spans 1 unit of dim 1 per row; S>1 writes need
+    # start[i] % s == 0, which holds for the only S>1 caller: prefill at 0).
+    new_spec = pl.BlockSpec((1, s, h, d), lambda i, st: (i, 0, 0, 0))
+    cache_spec = pl.BlockSpec((1, s, h, d),
+                              lambda i, st: (i, st[i] // s, 0, 0))
+    out = pl.pallas_call(
+        _write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
+        # inputs: 0=start (scalar prefetch), 1=k_new, 2=v_new, 3=k_cache,
+        # 4=v_cache — alias the caches onto the outputs (in-place).
+        input_output_aliases={3: 0, 4: 1},
+        interpret=pallas_interpret(),
+    )(start, k_new, v_new, k_cache, v_cache)
+    return out[0], out[1]
+
+
+def kv_scatter_write(k_cache: jax.Array, v_cache: jax.Array,
+                     k_new: jax.Array, v_new: jax.Array,
+                     start: jax.Array):
+    """Write ``k_new``/``v_new`` [B, S, H, D] into the length-major caches
+    [B, max_len, H, D] at per-sequence row offsets ``start`` [B], in place.
+
+    S must be 1 (decode) unless every ``start`` is a multiple of S (the
+    batcher only ever calls this with S == 1).
+    """
+    start = start.astype(jnp.int32)
+    k_new = k_new.astype(k_cache.dtype)
+    v_new = v_new.astype(v_cache.dtype)
+    return _kv_scatter_write_tpu(k_cache, v_cache, k_new, v_new, start)
+
+
+def kv_masked_write(cache_layer: jax.Array, new: jax.Array,
+                    start: jax.Array) -> jax.Array:
+    """XLA fallback: vectorized masked select over the length axis (streams
+    the full cache layer — correct everywhere, used off-TPU)."""
+    b, s, h, d = new.shape
+    max_len = cache_layer.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len, 1, 1), 1)
+    rel = pos - start[:, None, None, None]
+    in_window = (rel >= 0) & (rel < s)
+    if s == 1:
+        update = jnp.broadcast_to(new, (b, max_len, h, d))
+    else:
+        idx = jnp.clip(rel[:, :, 0, 0], 0, s - 1)
+        update = jnp.take_along_axis(new, idx[:, :, None, None], axis=1)
+    return jnp.where(in_window, update.astype(cache_layer.dtype), cache_layer)
