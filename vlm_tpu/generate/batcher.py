@@ -4,18 +4,25 @@ The wave-based :class:`~vlm_tpu.generate.decode.GenerationEngine` loses
 throughput when generation lengths vary — the whole batch waits for its
 slowest member. This engine instead keeps ``B`` decode slots busy:
 
-- a slot that hits EOS (or the token cap) is immediately refilled by
-  prefilling the next pending image *into that slot* of the shared KV cache
-  (batched group admission: up to ``admit_block`` free slots prefill
-  together, amortizing the vision encoder over admissions);
-- every step runs one decode for all ``B`` slots.
+- a slot that hits EOS (or the token cap) is refilled by prefilling the
+  next pending image *into that slot* of the shared KV cache (batched group
+  admission: up to ``admit_block`` free slots prefill together, amortizing
+  the vision encoder over admissions);
+- decode runs in **chunks of ``sync_every`` steps inside one jit**
+  (``lax.while_loop`` with in-device EOS/cap tracking), so the host syncs
+  once per chunk, not once per token. A decode step is ~7-10 ms of device
+  work; a per-token host round trip (dispatch + token pull) costs multiples
+  of that through a remote-attached TPU and is pure overhead even locally.
+  The chunk loop exits early once every slot is done, so the tail admission
+  latency stays bounded by the real work, not by the chunk size.
 
-All device work is jitted with static shapes: per-slot cache writes are
-``dynamic_update_slice`` on the batch axis, admission group size is a
-compiled constant, and the host loop only moves integers and tokens. This is
-the "slot-based cache with admission on slot-free" design from SURVEY.md §7
-("Continuous batching with KV-cache paging") — simpler than paged attention
-but sufficient because every prompt in a run has the same length.
+All device work is jitted with static shapes: per-slot cache writes go
+through the Pallas scatter-write kernel (`vlm_tpu/ops/kvcache.py`),
+admission group size and chunk length are compiled constants, and the host
+loop only moves integers and tokens. This is the "slot-based cache with
+admission on slot-free" design from SURVEY.md §7 ("Continuous batching with
+KV-cache paging") — simpler than paged attention but sufficient because
+every prompt in a run has the same length.
 """
 
 from __future__ import annotations
@@ -52,7 +59,8 @@ class ContinuousBatcher:
                  temperature: float = 0.0,
                  top_k: int = 0,
                  top_p: float = 1.0,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 sync_every: int = 8):
         self.module = module
         self.cfg = cfg
         self.batch_size = batch_size
@@ -63,6 +71,7 @@ class ContinuousBatcher:
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
+        self.sync_every = max(1, sync_every)
         # Sampling parity with the wave engine (greedy when temperature<=0).
         self.temperature = temperature
         self.top_k = top_k
@@ -74,8 +83,8 @@ class ContinuousBatcher:
         # copy in HBM.
         self._prefill_group = jax.jit(self._prefill_group_impl,
                                       donate_argnums=(5,))
-        self._decode_all = jax.jit(self._decode_all_impl,
-                                   donate_argnums=(3,))
+        self._decode_chunk = jax.jit(self._decode_chunk_impl,
+                                     donate_argnums=(6,))
 
     # ------------------------- jitted device fns -------------------------
     def _sample(self, logits: jax.Array, step: jax.Array) -> jax.Array:
@@ -112,11 +121,38 @@ class ContinuousBatcher:
         first_tok = self._sample(last, step)
         return first_tok, cache
 
-    def _decode_all_impl(self, params, cur_tokens, seq_len, cache, step):
-        logits, cache = self.module.apply(
-            params, cur_tokens[:, None], seq_len, cache,
-            method="decode_step")
-        return self._sample(logits, step), cache
+    def _decode_chunk_impl(self, params, cur_tokens, seq_len, gen_count,
+                           caps, active, cache, base_step):
+        """Up to ``sync_every`` decode steps for all slots in one device
+        program. EOS/cap bookkeeping runs in-device so the host only pulls
+        the [K, B] token block per chunk; the loop exits early once every
+        slot is done (bounding tail latency by work, not chunk size)."""
+        K = self.sync_every
+        b = cur_tokens.shape[0]
+        toks0 = jnp.full((K, b), self.pad_id, jnp.int32)
+
+        def cond(state):
+            k, _, _, _, _, act, _ = state
+            return jnp.logical_and(k < K, jnp.any(act))
+
+        def body(state):
+            k, toks, cur, slen, gcnt, act, cache = state
+            logits, cache = self.module.apply(
+                params, cur[:, None], slen, cache, method="decode_step")
+            nxt = self._sample(logits, base_step + k)
+            nxt = jnp.where(act, nxt, self.pad_id)
+            toks = jax.lax.dynamic_update_slice(toks, nxt[None], (k, 0))
+            finished = act & ((nxt == self.eos_id) | (gcnt + 1 >= caps))
+            slen = slen + act.astype(jnp.int32)
+            gcnt = gcnt + act.astype(jnp.int32)
+            act = act & ~finished
+            cur = jnp.where(act, nxt, self.pad_id)
+            return (k + 1, toks, cur, slen, gcnt, act, cache)
+
+        state = (jnp.asarray(0, jnp.int32), toks0, cur_tokens, seq_len,
+                 gen_count, active, cache)
+        _, toks, _, _, _, _, cache = jax.lax.while_loop(cond, body, state)
+        return toks, cache
 
     # ------------------------- host loop -------------------------
     def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
@@ -218,25 +254,33 @@ class ContinuousBatcher:
                     admit(free, *pending)
                     pending = next(block_iter, None)
                     continue
-                # one decode step for all slots
-                global_step[0] += 1
-                toks, cache = self._decode_all(
+                # one chunk of up to sync_every decode steps for all slots;
+                # the host replays the [K, B] token block to update its slot
+                # state (EOS/cap rules identical to the device bookkeeping)
+                active = np.asarray([s.active for s in slots], bool)
+                toks, cache = self._decode_chunk(
                     params, jnp.asarray(cur_tokens), jnp.asarray(seq_len),
-                    cache, jnp.asarray(global_step[0], jnp.int32))
+                    jnp.asarray(gen_count), jnp.asarray(caps),
+                    jnp.asarray(active), cache,
+                    jnp.asarray(global_step[0], jnp.int32))
+                global_step[0] += self.sync_every
                 toks = np.asarray(toks)
-                for i, s in enumerate(slots):
-                    if not s.active:
-                        continue
-                    t = int(toks[i])
-                    seq_len[i] += 1
-                    gen_count[i] += 1
-                    s.tokens.append(t)
-                    if t == self.eos_id or gen_count[i] >= caps[i]:
-                        s.active = False
-                        _finish(i)
-                # inactive slots advance nothing; next decode input is pad
-                cur_tokens = np.where([s.active for s in slots], toks,
-                                      self.pad_id).astype(np.int32)
+                for k in range(toks.shape[0]):
+                    if not any(s.active for s in slots):
+                        break
+                    row = toks[k]
+                    for i, s in enumerate(slots):
+                        if not s.active:
+                            continue
+                        t = int(row[i])
+                        seq_len[i] += 1
+                        gen_count[i] += 1
+                        s.tokens.append(t)
+                        if t == self.eos_id or gen_count[i] >= caps[i]:
+                            s.active = False
+                            _finish(i)
+                    cur_tokens = np.where([s.active for s in slots], row,
+                                          self.pad_id).astype(np.int32)
         except KeyboardInterrupt:
             # Partial-results semantics (reference:
             # scripts/prompt_inference.py:80-86): unfinished inputs stay
