@@ -140,10 +140,11 @@ def main():
 
     # ---------- continuous batcher (HEADLINE) ----------
     admit = int(os.environ.get("VLM_TPU_BENCH_ADMIT", "0")) or None
+    sync_every = int(os.environ.get("VLM_TPU_BENCH_SYNC", "8"))
     batcher = ContinuousBatcher(
         model.module, model.cfg, batch_size=batch,
         max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
-        admit_block=admit,
+        admit_block=admit, sync_every=sync_every,
         cache_dtype=model.policy.compute_dtype,
         eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
     # compile (prefill group + decode step) on a short run

@@ -119,6 +119,31 @@ class TestContinuousBatcher:
         assert out == wave_tokens
         assert sum(seen) == n
 
+    def test_sync_every_invariance(self, model):
+        """Chunked decode (host sync per K steps) must not change greedy
+        tokens: sync_every=1 (per-token sync, the round-1 behavior) and a
+        chunk larger than any generation produce identical results."""
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        n = 5
+        px_all = _pixels(cfg, n, seed=4)
+        kw = dict(max_prompt_len=2 + t, max_new_tokens=5,
+                  cache_dtype=jnp.float32, admit_block=2)
+        run_kw = dict(pre_ids_row=np.ones((2,), np.int32),
+                      post_ids_row=np.zeros((0,), np.int32),
+                      prompt_len_scalar=2 + t, n_images=n,
+                      max_new_per_image=[5, 1, 3, 5, 2])
+        outs = []
+        for sync in (1, 3, 16):
+            b = ContinuousBatcher(module, cfg, batch_size=3,
+                                  sync_every=sync, **kw)
+            outs.append(b.run(params,
+                              pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                              **run_kw))
+        assert outs[0] == outs[1] == outs[2]
+        assert all(len(o) <= c for o, c in
+                   zip(outs[0], run_kw["max_new_per_image"]))
+
     def test_single_slot(self, model):
         cfg, module, params = model
         t = num_image_tokens(cfg)
