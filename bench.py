@@ -141,10 +141,11 @@ def main():
     # ---------- continuous batcher (HEADLINE) ----------
     admit = int(os.environ.get("VLM_TPU_BENCH_ADMIT", "0")) or None
     sync_every = int(os.environ.get("VLM_TPU_BENCH_SYNC", "8"))
+    depth = int(os.environ.get("VLM_TPU_BENCH_DEPTH", "2"))
     batcher = ContinuousBatcher(
         model.module, model.cfg, batch_size=batch,
         max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
-        admit_block=admit, sync_every=sync_every,
+        admit_block=admit, sync_every=sync_every, pipeline_depth=depth,
         cache_dtype=model.policy.compute_dtype,
         eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
     # compile (prefill group + decode step) on a short run
@@ -157,6 +158,8 @@ def main():
                     np.asarray(post_ids[0]), plen_scalar,
                     n_images=n_images, max_new_per_image=caps)
     cont_ips = n_images / (time.perf_counter() - t0)
+    if os.environ.get("VLM_TPU_BENCH_STATS", "0") == "1":
+        log(f"[bench] batcher stats: {batcher.last_stats}")
     lats = sorted(l for l in batcher.last_latency_s if l is not None)
     p50 = 1e3 * lats[len(lats) // 2]
     p99 = 1e3 * lats[min(len(lats) - 1, int(len(lats) * 0.99))]

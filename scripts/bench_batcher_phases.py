@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Phase timings for the continuous batcher: admission (vision + prefill +
+scatter) vs decode chunks, measured separately on the device in use.
+
+Prints per-admission and per-chunk wall times so the throughput model
+(prefill FLOPs + decode weight stream + host overhead) can be checked
+against reality. Usage:
+
+    python scripts/bench_batcher_phases.py [--batch 128] [--admit 32]
+        [--sync 8] [--chunks 20]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from vlm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--admit", type=int, default=32)
+    ap.add_argument("--sync", type=int, default=8)
+    ap.add_argument("--chunks", type=int, default=20)
+    ap.add_argument("--size", default="3b")
+    ap.add_argument("--quant", default="bf16")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vlm_tpu.generate.batcher import ContinuousBatcher
+    from vlm_tpu.generate.decode import build_prompt_ids
+    from vlm_tpu.models.factory import VLMModelFactory
+    from vlm_tpu.models.vlm import num_image_tokens
+    from vlm_tpu.models.decoder import init_kv_cache
+    from vlm_tpu.ops.preprocess import host_batch, normalize_images
+
+    log(f"[phases] devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    model = VLMModelFactory.create_model("paligemma", quantization=args.quant,
+                                         size=args.size)
+    log(f"[phases] model built in {time.perf_counter() - t0:.1f}s")
+
+    prompt = ("Analyze the person in this image and return comma-separated "
+              "values: Color Upper Clothes,Color Lower Clothes,Gender,"
+              "Presence of bag,Presence of hat")
+    pre_t, post_t, bos_pre, bos_post = model.format_prompt(prompt)
+    B, g, K = args.batch, args.admit, args.sync
+    pre_ids, post_ids, plen = build_prompt_ids(
+        model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), g,
+        add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+    plen_scalar = int(plen[0])
+    log(f"[phases] B={B} admit={g} sync={K} prompt_len={plen_scalar}")
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (128, 96, 3), dtype=np.uint8))
+    pixels = normalize_images(
+        jnp.asarray(host_batch([img] * g, model.recipe)),
+        recipe=model.recipe, compute_dtype=model.policy.compute_dtype)
+
+    batcher = ContinuousBatcher(
+        model.module, model.cfg, batch_size=B,
+        max_prompt_len=plen_scalar, max_new_tokens=100,
+        admit_block=g, sync_every=K,
+        cache_dtype=model.policy.compute_dtype,
+        eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
+
+    cache = init_kv_cache(model.cfg.decoder, B, batcher.cache_len,
+                          model.policy.compute_dtype)
+    state = batcher._init_state()
+
+    # ---- admission phase ----
+    n_adm = B // g
+    slot_caps = [jnp.asarray(np.stack([
+        np.arange(i * g, (i + 1) * g), np.full((g,), 100)]).astype(np.int32))
+        for i in range(n_adm)]
+    # compile
+    first, state, cache = batcher._admit_group(
+        model.params, pixels, pre_ids, post_ids, plen, slot_caps[0],
+        state, cache)
+    _ = np.asarray(first)
+    times = []
+    for i in range(1, n_adm):
+        t0 = time.perf_counter()
+        first, state, cache = batcher._admit_group(
+            model.params, pixels, pre_ids, post_ids, plen, slot_caps[i],
+            state, cache)
+        _ = np.asarray(first)
+        times.append(time.perf_counter() - t0)
+    log(f"[phases] admission (g={g}, sync'd): "
+        f"{', '.join(f'{1e3*t:.0f}' for t in times)} ms "
+        f"-> {1e3*min(times)/g:.1f} ms/img best")
+
+    # ---- decode chunk phase (all slots active, synced each chunk) ----
+    toks, state, cache = batcher._decode_chunk(model.params, state, cache)
+    _ = np.asarray(toks)  # compile
+    times = []
+    for _ in range(args.chunks):
+        t0 = time.perf_counter()
+        toks, state, cache = batcher._decode_chunk(model.params, state, cache)
+        _ = np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    lo = min(times)
+    log(f"[phases] decode chunk (K={K}, sync'd): min {1e3*lo:.1f} ms, "
+        f"median {1e3*sorted(times)[len(times)//2]:.1f} ms "
+        f"-> {1e3*lo/K:.2f} ms/step, {B*K/lo:.0f} tok/s")
+
+    # ---- pipelined chunks (1-deep, like run()) ----
+    prev = None
+    t0 = time.perf_counter()
+    for _ in range(args.chunks):
+        toks, state, cache = batcher._decode_chunk(model.params, state, cache)
+        if prev is not None:
+            _ = np.asarray(prev)
+        prev = toks
+    _ = np.asarray(prev)
+    el = time.perf_counter() - t0
+    log(f"[phases] decode chunks pipelined: {1e3*el/args.chunks:.1f} "
+        f"ms/chunk -> {1e3*el/args.chunks/K:.2f} ms/step, "
+        f"{B*K*args.chunks/el:.0f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,8 @@ class ContinuousBatcher:
                  top_k: int = 0,
                  top_p: float = 1.0,
                  rng: Optional[jax.Array] = None,
-                 sync_every: int = 8):
+                 sync_every: int = 8,
+                 pipeline_depth: int = 2):
         self.module = module
         self.cfg = cfg
         self.batch_size = batch_size
@@ -85,6 +86,12 @@ class ContinuousBatcher:
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
         self.sync_every = max(1, sync_every)
+        # How many dispatched-but-unreplayed device calls to keep in flight.
+        # Each replay is a host round trip (~40 ms on a remote-attached TPU);
+        # depth d hides it behind d outstanding chunks at the cost of the
+        # host slot mirror lagging d chunks (admission happens that much
+        # later — idle slot-steps, worth ~0.5 chunk per admission at d=2).
+        self.pipeline_depth = max(1, pipeline_depth)
         # Sampling parity with the wave engine (greedy when temperature<=0).
         self.temperature = temperature
         self.top_k = top_k
@@ -329,27 +336,43 @@ class ContinuousBatcher:
             # that chunk's dispatch — which is any currently-active slot
             return any(s.active for s in slots)
 
-        pending = next(block_iter, None)
+        stats = {"admit_s": 0.0, "admits": 0, "chunk_dispatch_s": 0.0,
+                 "chunks": 0, "replay_s": 0.0, "replays": 0, "block_wait_s": 0.0}
+        self.last_stats = stats
+
+        def timed(key, fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            stats[key + "_s"] += time.perf_counter() - t0
+            return out
+
+        pending = timed("block_wait", next, block_iter, None)
         try:
             while pending is not None or decodable() or events:
                 free = [i for i, s in enumerate(slots) if not s.active]
                 if pending is not None and len(free) >= len(pending[0]):
-                    dispatch_admit(free, *pending)
-                    pending = next(block_iter, None)
+                    stats["admits"] += 1
+                    timed("admit", dispatch_admit, free, *pending)
+                    pending = timed("block_wait", next, block_iter, None)
                     continue
                 if decodable():
                     # dispatch the next chunk BEFORE replaying the previous
                     # one: the device rolls straight into it while the host
                     # pulls tokens and updates its mirror (1-deep pipeline)
                     chunks_dispatched += 1
+                    stats["chunks"] += 1
+                    t0 = time.perf_counter()
                     toks, state, cache = self._decode_chunk(params, state,
                                                             cache)
+                    stats["chunk_dispatch_s"] += time.perf_counter() - t0
                     events.append(("chunk", toks, chunks_dispatched))
-                # replay the oldest outstanding event, keeping one event in
-                # flight while decoding (the pipeline); drain fully once
-                # nothing is decodable
-                if len(events) >= 2 or (events and not decodable()):
-                    replay(events.popleft())
+                # replay the oldest outstanding event, keeping up to
+                # pipeline_depth events in flight while decoding; drain
+                # fully once nothing is decodable
+                if len(events) > self.pipeline_depth or (
+                        events and not decodable()):
+                    stats["replays"] += 1
+                    timed("replay", replay, events.popleft())
         except KeyboardInterrupt:
             # Partial-results semantics (reference:
             # scripts/prompt_inference.py:80-86): unfinished inputs stay
