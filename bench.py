@@ -24,6 +24,12 @@ Output: ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
    "p50_latency_ms": N, "p99_latency_ms": N, ...}
 
+Prompt-length regime: without local tokenizer files the factory falls back
+to the byte-level tokenizer (~1 id/char), so the text prompt is ~230 ids vs
+~60 with a real SentencePiece model. Throughput is dominated by the 256
+image tokens + decode, but absolute prefill cost is slightly overstated
+versus a real-checkpoint run — the conservative direction.
+
 Env knobs: VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
 VLM_TPU_BENCH_N (measured images, default 96),
 VLM_TPU_BENCH_BATCH (default 32), VLM_TPU_BENCH_TOKENS (max cap, default 100),
@@ -140,12 +146,11 @@ def main():
 
     # ---------- continuous batcher (HEADLINE) ----------
     admit = int(os.environ.get("VLM_TPU_BENCH_ADMIT", "0")) or None
-    sync_every = int(os.environ.get("VLM_TPU_BENCH_SYNC", "8"))
-    depth = int(os.environ.get("VLM_TPU_BENCH_DEPTH", "2"))
+    sync_every = int(os.environ.get("VLM_TPU_BENCH_SYNC", "0"))
     batcher = ContinuousBatcher(
         model.module, model.cfg, batch_size=batch,
         max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
-        admit_block=admit, sync_every=sync_every, pipeline_depth=depth,
+        admit_block=admit, sync_every=sync_every,
         cache_dtype=model.policy.compute_dtype,
         eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
     # compile (prefill group + decode step) on a short run

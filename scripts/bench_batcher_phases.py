@@ -90,47 +90,49 @@ def main():
         np.arange(i * g, (i + 1) * g), np.full((g,), 100)]).astype(np.int32))
         for i in range(n_adm)]
     # compile
-    first, state, cache = batcher._admit_group(
+    state, cache = batcher._admit_group(
         model.params, pixels, pre_ids, post_ids, plen, slot_caps[0],
         state, cache)
-    _ = np.asarray(first)
+    _ = np.asarray(state["act"])
     times = []
     for i in range(1, n_adm):
         t0 = time.perf_counter()
-        first, state, cache = batcher._admit_group(
+        state, cache = batcher._admit_group(
             model.params, pixels, pre_ids, post_ids, plen, slot_caps[i],
             state, cache)
-        _ = np.asarray(first)
+        _ = np.asarray(state["act"])
         times.append(time.perf_counter() - t0)
     log(f"[phases] admission (g={g}, sync'd): "
         f"{', '.join(f'{1e3*t:.0f}' for t in times)} ms "
         f"-> {1e3*min(times)/g:.1f} ms/img best")
 
     # ---- decode chunk phase (all slots active, synced each chunk) ----
-    toks, state, cache = batcher._decode_chunk(model.params, state, cache)
-    _ = np.asarray(toks)  # compile
+    # Fixed K steps per chunk (stop_free=B+1 disables the free-slot stop).
+    stop = jnp.asarray(B + 1, jnp.int32)
+    ksteps = jnp.asarray(K, jnp.int32)
+    packed, state, cache = batcher._decode_chunk(model.params, state, cache,
+                                                 stop, ksteps)
+    _ = np.asarray(packed)  # compile
     times = []
     for _ in range(args.chunks):
         t0 = time.perf_counter()
-        toks, state, cache = batcher._decode_chunk(model.params, state, cache)
-        _ = np.asarray(toks)
+        packed, state, cache = batcher._decode_chunk(
+            model.params, state, cache, stop, ksteps)
+        _ = np.asarray(packed)
         times.append(time.perf_counter() - t0)
     lo = min(times)
     log(f"[phases] decode chunk (K={K}, sync'd): min {1e3*lo:.1f} ms, "
         f"median {1e3*sorted(times)[len(times)//2]:.1f} ms "
         f"-> {1e3*lo/K:.2f} ms/step, {B*K/lo:.0f} tok/s")
 
-    # ---- pipelined chunks (1-deep, like run()) ----
-    prev = None
+    # ---- back-to-back chunks, one pull at the end ----
     t0 = time.perf_counter()
     for _ in range(args.chunks):
-        toks, state, cache = batcher._decode_chunk(model.params, state, cache)
-        if prev is not None:
-            _ = np.asarray(prev)
-        prev = toks
-    _ = np.asarray(prev)
+        packed, state, cache = batcher._decode_chunk(
+            model.params, state, cache, stop, ksteps)
+    _ = np.asarray(packed)
     el = time.perf_counter() - t0
-    log(f"[phases] decode chunks pipelined: {1e3*el/args.chunks:.1f} "
+    log(f"[phases] decode chunks unsynced: {1e3*el/args.chunks:.1f} "
         f"ms/chunk -> {1e3*el/args.chunks/K:.2f} ms/step, "
         f"{B*K*args.chunks/el:.0f} tok/s")
 

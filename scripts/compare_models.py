@@ -17,6 +17,10 @@ Config (YAML):
     max_tokens: 100
     batch_size: 32
     model_size: null          # e.g. "test" for CI
+    model_id: null            # shared checkpoint dir (all models), or
+    model_ids:                # per-model checkpoint dirs (wins over model_id)
+      llava: /ckpts/llava-1.5-7b
+      paligemma: /ckpts/paligemma-3b-mix-224
     dataset: {base_path: null}
     prompts: {...}            # same prompt section as prompt_inference
 """
@@ -88,8 +92,10 @@ def main():
             if interrupted:
                 break
             # One model instance per (model, quant); datasets share it.
+            model_id = (cfg.get("model_ids") or {}).get(
+                model_name, cfg.get("model_id"))
             model = VLMModelFactory.create_model(
-                model_name, model_id=cfg.get("model_id"),
+                model_name, model_id=model_id,
                 quantization=quant, size=cfg.get("model_size"))
             for ds_name in datasets:
                 row = {"model": model_name, "quantization": quant,

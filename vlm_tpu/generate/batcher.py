@@ -8,32 +8,28 @@ slowest member. This engine instead keeps ``B`` decode slots busy:
   next pending image *into that slot* of the shared KV cache (batched group
   admission: up to ``admit_block`` free slots prefill together, amortizing
   the vision encoder over admissions);
-- decode runs in **chunks of ``sync_every`` steps inside one jit**
-  (``lax.while_loop`` with in-device EOS/cap tracking), so the host syncs
-  once per chunk, not once per token. A decode step is ~7-10 ms of device
-  work; a per-token host round trip (dispatch + token pull) costs multiples
-  of that through a remote-attached TPU and is pure overhead even locally.
-  The chunk loop exits early once every slot is done, so the tail admission
-  latency stays bounded by the real work, not by the chunk size;
-- the per-slot decode state (current token, length, generated count, cap,
-  active flag, rng step) lives **on the device** and is carried from call
-  to call — the host never re-uploads it (five small H2D transfers per
-  chunk measured ~450 ms through a remote-attached TPU). Admission updates
-  it inside the prefill program;
-- host work is **pipelined one chunk deep**: the next chunk is dispatched
-  *before* the previous chunk's tokens are pulled and replayed, so the
-  device rolls from chunk to chunk without idling on host round trips.
-  Slots admitted after a chunk was dispatched carry an epoch tag; replay of
-  that chunk skips them (the device had them inactive), keeping the host
-  mirror exactly in sync with device bookkeeping.
+- decode runs in **adaptive chunks inside one jit**: a chunk keeps stepping
+  (``lax.while_loop`` with in-device EOS/cap tracking) until enough slots
+  have freed up for the next admission block — or every slot is done. The
+  host syncs once per admission cycle, not once per token or per fixed
+  stride. Generated tokens accumulate in a device-resident history buffer
+  ``[B, max_new_tokens]``, and each sync pulls ONE packed array (history +
+  active bitmap + counts). On a remote-attached TPU a host round trip costs
+  ~40 ms — multiples of a decode step — so round trips scale with
+  admissions (~n_images/admit_block), not with generated tokens;
+- admission itself needs **no host round trip**: the per-slot decode state
+  (current token, length, generated count, cap, active flag, token history,
+  rng step) lives on the device and admission updates it inside the prefill
+  program. The host's slot mirror is refreshed from the packed sync.
 
 All device work is jitted with static shapes: per-slot cache writes go
 through the Pallas scatter-write kernel (`vlm_tpu/ops/kvcache.py`),
-admission group size and chunk length are compiled constants, and the host
-loop only moves integers and tokens. This is the "slot-based cache with
-admission on slot-free" design from SURVEY.md §7 ("Continuous batching with
-KV-cache paging") — simpler than paged attention but sufficient because
-every prompt in a run has the same length.
+admission group size is a compiled constant, the free-slot stop threshold
+and chunk-step cap are *traced* scalars (no recompiles as supply drains),
+and the host loop only moves integers and tokens. This is the "slot-based
+cache with admission on slot-free" design from SURVEY.md §7 ("Continuous
+batching with KV-cache paging") — simpler than paged attention but
+sufficient because every prompt in a run has the same length.
 """
 
 from __future__ import annotations
@@ -55,10 +51,8 @@ from ..models.vlm import VLMModule
 @dataclasses.dataclass
 class _Slot:
     image_idx: int = -1          # which input this slot is generating for
-    tokens: List[int] = dataclasses.field(default_factory=list)
     active: bool = False
     cap: int = 0                 # per-request max_new cap
-    epoch: int = 0               # decode chunks dispatched before admission
 
 
 class ContinuousBatcher:
@@ -73,8 +67,7 @@ class ContinuousBatcher:
                  top_k: int = 0,
                  top_p: float = 1.0,
                  rng: Optional[jax.Array] = None,
-                 sync_every: int = 8,
-                 pipeline_depth: int = 2):
+                 sync_every: int = 0):
         self.module = module
         self.cfg = cfg
         self.batch_size = batch_size
@@ -85,13 +78,11 @@ class ContinuousBatcher:
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
-        self.sync_every = max(1, sync_every)
-        # How many dispatched-but-unreplayed device calls to keep in flight.
-        # Each replay is a host round trip (~40 ms on a remote-attached TPU);
-        # depth d hides it behind d outstanding chunks at the cost of the
-        # host slot mirror lagging d chunks (admission happens that much
-        # later — idle slot-steps, worth ~0.5 chunk per admission at d=2).
-        self.pipeline_depth = max(1, pipeline_depth)
+        # Upper bound on decode steps per chunk. 0 = adaptive only (a chunk
+        # runs until the free-slot threshold / completion); a positive value
+        # caps the chunk and forces a host sync at least every N steps
+        # (tighter progress reporting at the cost of more round trips).
+        self.sync_every = int(sync_every)
         # Sampling parity with the wave engine (greedy when temperature<=0).
         self.temperature = temperature
         self.top_k = top_k
@@ -124,6 +115,8 @@ class ContinuousBatcher:
             "gcnt": jnp.zeros((b,), jnp.int32),
             "caps": jnp.full((b,), self.max_new_tokens, jnp.int32),
             "act": jnp.zeros((b,), bool),
+            "hist": jnp.full((b, self.max_new_tokens), self.pad_id,
+                             jnp.int32),
             "step": jnp.zeros((), jnp.int32),
         }
 
@@ -131,7 +124,8 @@ class ContinuousBatcher:
                           prompt_len, slot_caps, state, cache):
         """Prefill ``g`` sequences, scatter their KV into ``cache`` at batch
         indices ``slot_caps[0]`` and update the per-slot decode state (caps
-        from ``slot_caps[1]``). Returns the group's first sampled tokens."""
+        from ``slot_caps[1]``). The group's first sampled tokens land in the
+        history buffer — nothing returns to the host."""
         slots = slot_caps[0]
         caps_new = slot_caps[1]
         g = pixels.shape[0]
@@ -157,6 +151,10 @@ class ContinuousBatcher:
         }
         first = self._sample(last, state["step"])
         act_new = (first != self.eos_id) & (caps_new > 1)
+        # Reset the admitted slots' history rows (stale tokens from the
+        # previous occupant) and record each sequence's first token.
+        hist = state["hist"].at[slots].set(self.pad_id)
+        hist = hist.at[slots, 0].set(first)
         state = {
             "cur": state["cur"].at[slots].set(
                 jnp.where(act_new, first, self.pad_id)),
@@ -164,46 +162,58 @@ class ContinuousBatcher:
             "gcnt": state["gcnt"].at[slots].set(1),
             "caps": state["caps"].at[slots].set(caps_new),
             "act": state["act"].at[slots].set(act_new),
+            "hist": hist,
             "step": state["step"] + 1,
         }
-        return first, state, cache
+        return state, cache
 
-    def _decode_chunk_impl(self, params, state, cache):
-        """Up to ``sync_every`` decode steps for all slots in one device
-        program. EOS/cap bookkeeping runs in-device so the host only pulls
-        the [K, B] token block per chunk; the loop exits early once every
-        slot is done (bounding tail latency by work, not chunk size)."""
-        K = self.sync_every
+    def _decode_chunk_impl(self, params, state, cache, stop_free,
+                           max_steps):
+        """Decode for all slots in one device program until at least
+        ``stop_free`` slots are free (EOS/cap bookkeeping runs in-device),
+        every slot is done, or ``max_steps`` steps ran. Tokens accumulate in
+        the device-resident history; the return packs history + active
+        bitmap + generated counts into ONE int32 array so the host pays a
+        single pull per sync."""
         b = self.batch_size
-        toks0 = jnp.full((K, b), self.pad_id, jnp.int32)
+        n_new = self.max_new_tokens
         caps = state["caps"]
         base_step = state["step"]
+        col = jnp.arange(n_new, dtype=jnp.int32)[None, :]       # [1, n_new]
+
+        def free(act):
+            return b - jnp.sum(act.astype(jnp.int32))
 
         def cond(carry):
-            k, _, _, _, _, act, _ = carry
-            return jnp.logical_and(k < K, jnp.any(act))
+            k, _, _, _, act, _, _ = carry
+            return (k < max_steps) & jnp.any(act) & (free(act) < stop_free)
 
         def body(carry):
-            k, toks, cur, slen, gcnt, act, cache = carry
+            k, cur, slen, gcnt, act, hist, cache = carry
             logits, cache = self.module.apply(
                 params, cur[:, None], slen, cache, method="decode_step")
             nxt = self._sample(logits, base_step + k)
             nxt = jnp.where(act, nxt, self.pad_id)
-            toks = jax.lax.dynamic_update_slice(toks, nxt[None], (k, 0))
+            # Dense masked write of token #gcnt per active slot (a scatter
+            # at [i, gcnt[i]] serializes on TPU; this streams [B, n_new]).
+            hist = jnp.where(act[:, None] & (col == gcnt[:, None]),
+                             nxt[:, None], hist)
             finished = act & ((nxt == self.eos_id) | (gcnt + 1 >= caps))
             slen = slen + act.astype(jnp.int32)
             gcnt = gcnt + act.astype(jnp.int32)
             act = act & ~finished
             cur = jnp.where(act, nxt, self.pad_id)
-            return (k + 1, toks, cur, slen, gcnt, act, cache)
+            return (k + 1, cur, slen, gcnt, act, hist, cache)
 
-        carry = (jnp.asarray(0, jnp.int32), toks0, state["cur"],
-                 state["slen"], state["gcnt"], state["act"], cache)
-        _, toks, cur, slen, gcnt, act, cache = jax.lax.while_loop(
+        carry = (jnp.asarray(0, jnp.int32), state["cur"], state["slen"],
+                 state["gcnt"], state["act"], state["hist"], cache)
+        k, cur, slen, gcnt, act, hist, cache = jax.lax.while_loop(
             cond, body, carry)
         state = {"cur": cur, "slen": slen, "gcnt": gcnt, "caps": caps,
-                 "act": act, "step": base_step + K}
-        return toks, state, cache
+                 "act": act, "hist": hist, "step": base_step + k}
+        packed = jnp.concatenate(
+            [hist, act.astype(jnp.int32)[:, None], gcnt[:, None]], axis=1)
+        return packed, state, cache
 
     # ------------------------- host loop -------------------------
     def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
@@ -230,9 +240,8 @@ class ContinuousBatcher:
         :attr:`last_latency_s` holds per-image admission→completion latency
         (None for images never admitted, e.g. after an interrupt).
         """
-        import collections
-
         B = self.batch_size
+        n_new = self.max_new_tokens
         cache = init_kv_cache(self.cfg.decoder, B, self.cache_len,
                               self.cache_dtype)
         state = self._init_state()
@@ -240,7 +249,6 @@ class ContinuousBatcher:
         results: List[Optional[List[int]]] = [None] * n_images
         self.last_latency_s: List[Optional[float]] = [None] * n_images
         t_admit: List[float] = [0.0] * n_images
-        gen_count = np.zeros((B,), np.int32)
 
         pre_g = {}
         post_g = {}
@@ -254,13 +262,19 @@ class ContinuousBatcher:
             blocks, lambda idxs: (idxs, pixel_fn(idxs)),
             depth=max(1, prefetch_depth))
 
-        # Dispatched-but-unreplayed device calls, replayed strictly in
-        # dispatch order (= device execution order). `chunks_dispatched`
-        # numbers the decode chunks; a slot admitted after chunk i was
-        # dispatched gets epoch i, and replay of chunk i skips slots with
-        # epoch >= i (the device had them inactive during that chunk).
-        events = collections.deque()
-        chunks_dispatched = 0
+        max_steps = jnp.asarray(n_new if self.sync_every <= 0
+                                else self.sync_every, jnp.int32)
+        stop_never = jnp.asarray(B + 1, jnp.int32)   # drain: run to done
+
+        stats = {"admit_s": 0.0, "admits": 0, "chunk_s": 0.0, "chunks": 0,
+                 "pull_s": 0.0, "block_wait_s": 0.0}
+        self.last_stats = stats
+
+        def timed(key, fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            stats[key + "_s"] += time.perf_counter() - t0
+            return out
 
         def dispatch_admit(free: List[int], idxs: List[int], pixels):
             nonlocal cache, state
@@ -280,99 +294,55 @@ class ContinuousBatcher:
                     cap = max(1, min(cap, int(max_new_per_image[idxs[j]])))
                 caps.append(cap)
             slot_caps = jnp.asarray(np.stack([group, caps]).astype(np.int32))
-            first, state, cache = self._admit_group(
+            state, cache = self._admit_group(
                 params, pixels, pre_g[g], post_g[g], plen_g[g], slot_caps,
                 state, cache)
             for j, s in enumerate(group):
-                slots[s] = _Slot(image_idx=idxs[j], active=True,
-                                 cap=caps[j], epoch=chunks_dispatched)
-            events.append(("admit", first, list(group)))
+                slots[s] = _Slot(image_idx=idxs[j], active=True, cap=caps[j])
 
-        def _finish(s: int):
-            slot = slots[s]
-            toks = [t for t in slot.tokens if t != self.eos_id]
-            results[slot.image_idx] = toks
-            self.last_latency_s[slot.image_idx] = \
-                time.perf_counter() - t_admit[slot.image_idx]
-            slots[s] = _Slot()
-            if progress is not None:
-                progress(1)
-
-        def replay(event):
-            kind = event[0]
-            if kind == "admit":
-                _, first, group = event
-                first = np.asarray(first)         # pulls g ints
-                for j, s in enumerate(group):
-                    slot = slots[s]
-                    slot.tokens = [int(first[j])]
-                    gen_count[s] = 1
-                    if int(first[j]) == self.eos_id or slot.cap <= 1:
-                        slot.active = False
-                        _finish(s)
-                return
-            _, toks, chunk_id = event
-            toks = np.asarray(toks)               # pulls [K, B] ints
-            for k in range(toks.shape[0]):
-                row = toks[k]
-                alive = False
-                for i, s in enumerate(slots):
-                    # skip slots admitted after this chunk was dispatched —
-                    # the device had them inactive (their rows are pad)
-                    if not s.active or s.epoch >= chunk_id:
-                        continue
-                    alive = True
-                    t = int(row[i])
-                    gen_count[i] += 1
-                    s.tokens.append(t)
-                    if t == self.eos_id or gen_count[i] >= s.cap:
-                        s.active = False
-                        _finish(i)
-                if not alive:
-                    break
-
-        def decodable() -> bool:
-            # a slot decodes in the next chunk iff it was admitted before
-            # that chunk's dispatch — which is any currently-active slot
-            return any(s.active for s in slots)
-
-        stats = {"admit_s": 0.0, "admits": 0, "chunk_dispatch_s": 0.0,
-                 "chunks": 0, "replay_s": 0.0, "replays": 0, "block_wait_s": 0.0}
-        self.last_stats = stats
-
-        def timed(key, fn, *a):
+        def sync(packed) -> None:
+            """Pull the packed chunk result (ONE host round trip) and
+            resolve every slot the device finished since the last sync."""
             t0 = time.perf_counter()
-            out = fn(*a)
-            stats[key + "_s"] += time.perf_counter() - t0
-            return out
+            arr = np.asarray(packed)
+            stats["pull_s"] += time.perf_counter() - t0
+            act = arr[:, n_new].astype(bool)
+            gcnt = arr[:, n_new + 1]
+            now = time.perf_counter()
+            for i, s in enumerate(slots):
+                if not s.active or act[i]:
+                    continue
+                toks = [int(t) for t in arr[i, :gcnt[i]]
+                        if t != self.eos_id]
+                results[s.image_idx] = toks
+                self.last_latency_s[s.image_idx] = now - t_admit[s.image_idx]
+                slots[i] = _Slot()
+                if progress is not None:
+                    progress(1)
 
         pending = timed("block_wait", next, block_iter, None)
         try:
-            while pending is not None or decodable() or events:
+            while pending is not None or any(s.active for s in slots):
                 free = [i for i, s in enumerate(slots) if not s.active]
                 if pending is not None and len(free) >= len(pending[0]):
+                    # Admission dispatches device work but needs no host
+                    # round trip — slot state updates inside the program.
                     stats["admits"] += 1
                     timed("admit", dispatch_admit, free, *pending)
                     pending = timed("block_wait", next, block_iter, None)
                     continue
-                if decodable():
-                    # dispatch the next chunk BEFORE replaying the previous
-                    # one: the device rolls straight into it while the host
-                    # pulls tokens and updates its mirror (1-deep pipeline)
-                    chunks_dispatched += 1
-                    stats["chunks"] += 1
-                    t0 = time.perf_counter()
-                    toks, state, cache = self._decode_chunk(params, state,
-                                                            cache)
-                    stats["chunk_dispatch_s"] += time.perf_counter() - t0
-                    events.append(("chunk", toks, chunks_dispatched))
-                # replay the oldest outstanding event, keeping up to
-                # pipeline_depth events in flight while decoding; drain
-                # fully once nothing is decodable
-                if len(events) > self.pipeline_depth or (
-                        events and not decodable()):
-                    stats["replays"] += 1
-                    timed("replay", replay, events.popleft())
+                # Decode until the next admission fits (or, with no supply
+                # left, until every slot drains). stop_free is traced — the
+                # same compiled chunk serves admission-sized stops and the
+                # final drain.
+                stop = (jnp.asarray(len(pending[0]), jnp.int32)
+                        if pending is not None else stop_never)
+                stats["chunks"] += 1
+                t0 = time.perf_counter()
+                packed, state, cache = self._decode_chunk(
+                    params, state, cache, stop, max_steps)
+                stats["chunk_s"] += time.perf_counter() - t0
+                sync(packed)
         except KeyboardInterrupt:
             # Partial-results semantics (reference:
             # scripts/prompt_inference.py:80-86): unfinished inputs stay
