@@ -31,8 +31,8 @@ image tokens + decode, but absolute prefill cost is slightly overstated
 versus a real-checkpoint run — the conservative direction.
 
 Env knobs: VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
-VLM_TPU_BENCH_N (measured images, default 96),
-VLM_TPU_BENCH_BATCH (default 32), VLM_TPU_BENCH_TOKENS (max cap, default 100),
+VLM_TPU_BENCH_N (measured images, default 256),
+VLM_TPU_BENCH_BATCH (default 128), VLM_TPU_BENCH_TOKENS (max cap, default 100),
 VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
 VLM_TPU_BENCH_WAVE=0 skips the wave comparison,
 VLM_TPU_PROFILE_DIR (write a jax.profiler trace of the continuous phase).
@@ -70,9 +70,11 @@ def main():
 
     size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
-    n_images = int(os.environ.get("VLM_TPU_BENCH_N", "96"))
-    # Batch 32 measured best on v5e (64 loses to host decode + cache size).
-    batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "32"))
+    n_images = int(os.environ.get("VLM_TPU_BENCH_N", "256"))
+    # 128 slots / admit 32 measured best on v5e with adaptive chunks (round
+    # 2); decode-step cost is nearly flat in batch, so more slots win once
+    # host syncs no longer scale with tokens.
+    batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "128"))
     max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "100"))
     n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "6"))
     run_wave = os.environ.get("VLM_TPU_BENCH_WAVE", "1") != "0"

@@ -123,16 +123,17 @@ class Dense(nn.Module):
                                  scale=jax.lax.stop_gradient(scale),
                                  group_size=gs)
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
-            if self.quant_bits == 8 and x2.shape[0] >= 128:
-                # Compute-bound regime (prefill): llm.int8-style dynamic
-                # activation quantization → int8×int8 MXU (2x bf16 peak),
-                # with outlier decomposition — the highest-|x| input columns
-                # bypass int8 in bf16, exactly where bitsandbytes applies it
-                # (activation outliers wreck per-row scales; weight-only
-                # decode below never quantizes activations). Measured on
-                # v5e: the dynamic path LOSES in decode-size shapes
-                # (48.9 → 34.1 img/s device-only on 3B), so decode keeps
-                # the bf16-dequant kernel.
+            if self.quant_bits == 8 and x2.shape[0] >= 512:
+                # Compute-bound regime (prefill, m = group×seq_len in the
+                # thousands): llm.int8-style dynamic activation quantization
+                # → int8×int8 MXU (2x bf16 peak), with outlier decomposition
+                # — the highest-|x| input columns bypass int8 in bf16,
+                # exactly where bitsandbytes applies it (activation outliers
+                # wreck per-row scales; weight-only decode below never
+                # quantizes activations). Measured on v5e: the dynamic path
+                # LOSES in decode-size shapes (48.9 → 34.1 img/s device-only
+                # on 3B at B=32; still losing at B=128), so decode — m =
+                # batch, ≤ a few hundred — keeps the bf16-dequant kernel.
                 from ..ops.quant import quant_matmul_outlier
                 y = quant_matmul_outlier(x2, qw, n_outliers=self.int8_outliers,
                                          out_dtype=self.dtype)
