@@ -144,6 +144,26 @@ class TestContinuousBatcher:
         assert all(len(o) <= c for o, c in
                    zip(outs[0], run_kw["max_new_per_image"]))
 
+    def test_all_caps_one(self, model):
+        """Every request capped at 1 token: each admission deactivates all
+        its slots inside the prefill program, so every decode chunk runs
+        zero steps and only resolves the host mirror. Exercises the
+        adaptive chunk's immediate-exit path end to end."""
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        n = 5
+        px_all = _pixels(cfg, n, seed=7)
+        batcher = ContinuousBatcher(module, cfg, batch_size=2,
+                                    max_prompt_len=1 + t, max_new_tokens=4,
+                                    cache_dtype=jnp.float32, admit_block=2)
+        out = batcher.run(params,
+                          pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                          pre_ids_row=np.zeros((0,), np.int32),
+                          post_ids_row=np.ones((1,), np.int32),
+                          prompt_len_scalar=1 + t, n_images=n,
+                          max_new_per_image=[1] * n)
+        assert all(o is not None and len(o) <= 1 for o in out)
+
     def test_single_slot(self, model):
         cfg, module, params = model
         t = num_image_tokens(cfg)
