@@ -60,7 +60,10 @@ def main():
               "values: Color Upper Clothes,Color Lower Clothes,Gender,"
               "Presence of bag,Presence of hat")
     pre_t, post_t, bos_pre, bos_post = model.format_prompt(prompt)
-    B, g, K = args.batch, args.admit, args.sync
+    B, g, K = args.batch, args.admit, max(1, args.sync)
+    # Caps must outlast every timed chunk (1 compile + timed + unsynced),
+    # or the later chunks run on drained slots and time nothing.
+    cap_tokens = (1 + 2 * args.chunks) * K + 8
     pre_ids, post_ids, plen = build_prompt_ids(
         model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), g,
         add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
@@ -75,10 +78,12 @@ def main():
 
     batcher = ContinuousBatcher(
         model.module, model.cfg, batch_size=B,
-        max_prompt_len=plen_scalar, max_new_tokens=100,
+        max_prompt_len=plen_scalar, max_new_tokens=cap_tokens,
         admit_block=g, sync_every=K,
         cache_dtype=model.policy.compute_dtype,
-        eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
+        # eos_id=-1: random-weight models must not EOS-terminate slots
+        # mid-measurement.
+        eos_id=-1, pad_id=model.tokenizer.pad_id)
 
     cache = init_kv_cache(model.cfg.decoder, B, batcher.cache_len,
                           model.policy.compute_dtype)
@@ -87,7 +92,8 @@ def main():
     # ---- admission phase ----
     n_adm = B // g
     slot_caps = [jnp.asarray(np.stack([
-        np.arange(i * g, (i + 1) * g), np.full((g,), 100)]).astype(np.int32))
+        np.arange(i * g, (i + 1) * g),
+        np.full((g,), cap_tokens)]).astype(np.int32))
         for i in range(n_adm)]
     # compile
     state, cache = batcher._admit_group(
@@ -102,9 +108,13 @@ def main():
             state, cache)
         _ = np.asarray(state["act"])
         times.append(time.perf_counter() - t0)
-    log(f"[phases] admission (g={g}, sync'd): "
-        f"{', '.join(f'{1e3*t:.0f}' for t in times)} ms "
-        f"-> {1e3*min(times)/g:.1f} ms/img best")
+    if times:
+        log(f"[phases] admission (g={g}, sync'd): "
+            f"{', '.join(f'{1e3*t:.0f}' for t in times)} ms "
+            f"-> {1e3*min(times)/g:.1f} ms/img best")
+    else:
+        log(f"[phases] admission: single block (batch == admit), "
+            f"no steady-state timing; raise --batch or lower --admit")
 
     # ---- decode chunk phase (all slots active, synced each chunk) ----
     # Fixed K steps per chunk (stop_free=B+1 disables the free-slot stop).

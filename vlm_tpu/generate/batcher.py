@@ -50,9 +50,10 @@ from ..models.vlm import VLMModule
 
 @dataclasses.dataclass
 class _Slot:
+    # Host mirror holds only identity + liveness; caps/EOS/counts are
+    # tracked on-device and arrive via the packed sync.
     image_idx: int = -1          # which input this slot is generating for
     active: bool = False
-    cap: int = 0                 # per-request max_new cap
 
 
 class ContinuousBatcher:
@@ -78,6 +79,11 @@ class ContinuousBatcher:
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
+        if self.admit_block > batch_size:
+            raise ValueError(
+                f"admit_block ({self.admit_block}) cannot exceed "
+                f"batch_size ({batch_size}): a full admission block could "
+                "never find enough free slots")
         # Upper bound on decode steps per chunk. 0 = adaptive only (a chunk
         # runs until the free-slot threshold / completion); a positive value
         # caps the chunk and forces a host sync at least every N steps
@@ -266,8 +272,12 @@ class ContinuousBatcher:
                                 else self.sync_every, jnp.int32)
         stop_never = jnp.asarray(B + 1, jnp.int32)   # drain: run to done
 
-        stats = {"admit_s": 0.0, "admits": 0, "chunk_s": 0.0, "chunks": 0,
-                 "pull_s": 0.0, "block_wait_s": 0.0}
+        # NB: dispatches are async — "admit_s"/"chunk_dispatch_s" time only
+        # program submission. "sync_s" blocks until the dispatched chunk
+        # finishes on the device, so it is decode compute + the host pull,
+        # not pull alone.
+        stats = {"admit_s": 0.0, "admits": 0, "chunk_dispatch_s": 0.0,
+                 "chunks": 0, "sync_s": 0.0, "block_wait_s": 0.0}
         self.last_stats = stats
 
         def timed(key, fn, *a):
@@ -298,14 +308,14 @@ class ContinuousBatcher:
                 params, pixels, pre_g[g], post_g[g], plen_g[g], slot_caps,
                 state, cache)
             for j, s in enumerate(group):
-                slots[s] = _Slot(image_idx=idxs[j], active=True, cap=caps[j])
+                slots[s] = _Slot(image_idx=idxs[j], active=True)
 
         def sync(packed) -> None:
             """Pull the packed chunk result (ONE host round trip) and
             resolve every slot the device finished since the last sync."""
             t0 = time.perf_counter()
             arr = np.asarray(packed)
-            stats["pull_s"] += time.perf_counter() - t0
+            stats["sync_s"] += time.perf_counter() - t0
             act = arr[:, n_new].astype(bool)
             gcnt = arr[:, n_new + 1]
             now = time.perf_counter()
@@ -341,7 +351,7 @@ class ContinuousBatcher:
                 t0 = time.perf_counter()
                 packed, state, cache = self._decode_chunk(
                     params, state, cache, stop, max_steps)
-                stats["chunk_s"] += time.perf_counter() - t0
+                stats["chunk_dispatch_s"] += time.perf_counter() - t0
                 sync(packed)
         except KeyboardInterrupt:
             # Partial-results semantics (reference:
