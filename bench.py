@@ -30,7 +30,8 @@ to the byte-level tokenizer (~1 id/char), so the text prompt is ~230 ids vs
 image tokens + decode, but absolute prefill cost is slightly overstated
 versus a real-checkpoint run — the conservative direction.
 
-Env knobs: VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
+Env knobs: VLM_TPU_BENCH_MODEL (paligemma|llava|blip2, default paligemma),
+VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
 VLM_TPU_BENCH_N (measured images, default 256),
 VLM_TPU_BENCH_BATCH (default 128), VLM_TPU_BENCH_TOKENS (max cap, default 100),
 VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
@@ -68,6 +69,7 @@ def main():
     import numpy as np
     from PIL import Image
 
+    model_name = os.environ.get("VLM_TPU_BENCH_MODEL", "paligemma")
     size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "256"))
@@ -82,12 +84,12 @@ def main():
 
     import jax
     log(f"[bench] devices: {jax.devices()}")
-    log(f"[bench] paligemma size={size} N={n_images} batch={batch} "
+    log(f"[bench] {model_name} size={size} N={n_images} batch={batch} "
         f"max_tokens={max_tokens}")
 
     from vlm_tpu.models.factory import VLMModelFactory
     t0 = time.perf_counter()
-    model = VLMModelFactory.create_model("paligemma", quantization=quant,
+    model = VLMModelFactory.create_model(model_name, quantization=quant,
                                          size=size)
     log(f"[bench] model built in {time.perf_counter() - t0:.1f}s")
 
@@ -210,8 +212,9 @@ def main():
             f"{done / (time.perf_counter() - t0):.1f} img/s")
 
     print(json.dumps({
-        "metric": f"paligemma_{size}_{quant}_zero_shot_images_per_sec"
-        if quant != "bf16" else f"paligemma_{size}_zero_shot_images_per_sec",
+        "metric": f"{model_name}_{size}_{quant}_zero_shot_images_per_sec"
+        if quant != "bf16"
+        else f"{model_name}_{size}_zero_shot_images_per_sec",
         "value": round(cont_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(cont_ips / seq_ips, 2) if seq_ips > 0 else 0.0,
