@@ -132,22 +132,6 @@ class TestGQAAttention:
             assert float(jnp.abs(out - ref).max()) < 1e-5, impl
 
 
-class TestSkinnyMatmul:
-    def test_matches_einsum(self):
-        from vlm_tpu.ops.matmul import decode_logits, skinny_matmul_t
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(13, 64)), jnp.float32)
-        w = jnp.asarray(rng.normal(size=(500, 64)), jnp.float32)
-        ref = x @ w.T
-        out = skinny_matmul_t(x, w, block_n=128)
-        assert out.shape == (13, 500)
-        assert float(jnp.abs(out - ref).max()) < 1e-4
-
-        x3 = x.reshape(13, 1, 64)
-        out2 = decode_logits(x3, w, use_pallas=True)
-        assert float(jnp.abs(out2[:, 0] - ref).max()) < 1e-4
-
-
 class TestFlashGradients:
     """The fused kernel's custom_vjp: Pallas forward + XLA-derived backward
     (probe training with unfrozen backbone layers stays fused)."""

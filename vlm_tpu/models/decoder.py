@@ -356,10 +356,11 @@ class Decoder(nn.Module):
             x = jnp.take_along_axis(x, idx[:, None, None], axis=1)
 
         if cfg.tie_embeddings:
-            # Measured on v5e: XLA's attend einsum beats the Pallas skinny
-            # kernel (ops/matmul.py) inside the decode step — the 252-tile
-            # grid's per-step overhead outweighs the bandwidth win at this
-            # size. Revisit with a flatter grid if the LM head grows.
+            # Measured on v5e (round 2, isolated microbench): XLA's attend
+            # einsum streams the 1.05 GB Gemma LM head at ~460 GB/s
+            # (2.3 ms/step, flat in B from 8 to 128); a Pallas row-tile
+            # skinny kernel reached only ~190 GB/s at every workable tile
+            # size and was removed. XLA is the right path here.
             logits = self.embed.attend(x.astype(self.dtype))
             logits = logits.astype(jnp.float32)
         else:

@@ -1,7 +1,6 @@
 """TPU compute ops: attention, quantized matmuls, image preprocessing."""
 
 from .attention import attention
-from .matmul import skinny_matmul_t
 from .preprocess import (RECIPES, PreprocessRecipe, host_batch, host_resize,
                          normalize_images, preprocess_pil_batch, recipe_for)
 from .quant import (QuantizedWeight, dequantize, quant_matmul,
@@ -9,7 +8,7 @@ from .quant import (QuantizedWeight, dequantize, quant_matmul,
                     quantize_int4, quantize_int8)
 
 __all__ = [
-    "attention", "skinny_matmul_t", "RECIPES", "PreprocessRecipe",
+    "attention", "RECIPES", "PreprocessRecipe",
     "host_batch", "host_resize", "normalize_images", "preprocess_pil_batch",
     "recipe_for", "QuantizedWeight", "dequantize", "quant_matmul",
     "quant_matmul_dynamic", "quantize_activations", "quantize_int4",
