@@ -32,7 +32,7 @@ versus a real-checkpoint run — the conservative direction.
 
 Env knobs: VLM_TPU_BENCH_MODEL (paligemma|llava|blip2, default paligemma),
 VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
-VLM_TPU_BENCH_N (measured images, default 256),
+VLM_TPU_BENCH_N (measured images, default 512; batch-fill ramp and drain amortize at 4x batch),
 VLM_TPU_BENCH_BATCH (default 128), VLM_TPU_BENCH_TOKENS (max cap, default 100),
 VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
 VLM_TPU_BENCH_WAVE=0 skips the wave comparison,
@@ -72,7 +72,7 @@ def main():
     model_name = os.environ.get("VLM_TPU_BENCH_MODEL", "paligemma")
     size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
-    n_images = int(os.environ.get("VLM_TPU_BENCH_N", "256"))
+    n_images = int(os.environ.get("VLM_TPU_BENCH_N", "512"))
     # 128 slots / admit 32 measured best on v5e with adaptive chunks (round
     # 2); decode-step cost is nearly flat in batch, so more slots win once
     # host syncs no longer scale with tokens.

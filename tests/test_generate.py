@@ -61,6 +61,35 @@ class TestGenerationEngine:
                                       np.asarray(r2.tokens))
         assert all(1 <= int(n) <= 6 for n in np.asarray(r1.lengths))
 
+    def test_non_uniform_prompt_lengths(self, model):
+        """Per-sequence prompt lengths must take the per-row KV write path:
+        each row of a mixed-length batch must reproduce the tokens of a
+        batch-1 run at that row's own length (the scalar-offset write would
+        corrupt the longer row's prompt KV)."""
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        max_prompt = 5 + t
+        engine = GenerationEngine(module, cfg, batch_size=2,
+                                  max_prompt_len=max_prompt,
+                                  max_new_tokens=5,
+                                  cache_dtype=jnp.float32)
+        px = _pixels(cfg, 2, seed=9)
+        # row 0: 2 post tokens, row 1: 5 post tokens (left-aligned, padded)
+        post = jnp.asarray([[7, 9, 0, 0, 0], [7, 9, 11, 13, 15]], jnp.int32)
+        pre = jnp.zeros((2, 0), jnp.int32)
+        plen = jnp.asarray([2 + t, 5 + t], jnp.int32)
+        res = engine.generate(params, px, pre, post, plen)
+
+        eng1 = GenerationEngine(module, cfg, batch_size=1,
+                                max_prompt_len=max_prompt,
+                                max_new_tokens=5,
+                                cache_dtype=jnp.float32)
+        for b in range(2):
+            r1 = eng1.generate(params, px[b:b + 1], pre[b:b + 1],
+                               post[b:b + 1], plen[b:b + 1])
+            np.testing.assert_array_equal(np.asarray(res.tokens)[b],
+                                          np.asarray(r1.tokens)[0])
+
     def test_eos_stops_and_pads(self, model):
         cfg, module, params = model
         t = num_image_tokens(cfg)

@@ -79,11 +79,11 @@ class ContinuousBatcher:
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
         self.admit_block = admit_block or max(1, batch_size // 4)
-        if self.admit_block > batch_size:
+        if not 1 <= self.admit_block <= batch_size:
             raise ValueError(
-                f"admit_block ({self.admit_block}) cannot exceed "
-                f"batch_size ({batch_size}): a full admission block could "
-                "never find enough free slots")
+                f"admit_block ({self.admit_block}) must be in "
+                f"[1, batch_size={batch_size}]: a full admission block must "
+                "be able to find enough free slots")
         # Upper bound on decode steps per chunk. 0 = adaptive only (a chunk
         # runs until the free-slot threshold / completion); a positive value
         # caps the chunk and forces a host sync at least every N steps
@@ -94,6 +94,7 @@ class ContinuousBatcher:
         self.top_k = top_k
         self.top_p = top_p
         self._rng = rng if rng is not None else jax.random.key(0)
+        self._runs = 0      # folds into the sampling key per run()
 
         # The cache is donated: each call's input buffer is dead afterwards,
         # so XLA updates it in place instead of holding a second multi-GB
@@ -104,18 +105,21 @@ class ContinuousBatcher:
                                      donate_argnums=(1, 2))
 
     # ------------------------- jitted device fns -------------------------
-    def _sample(self, logits: jax.Array, step: jax.Array) -> jax.Array:
+    def _sample(self, logits: jax.Array, rng: Optional[jax.Array],
+                step: jax.Array) -> jax.Array:
         from .decode import _sample
         return _sample(logits, self.temperature,
-                       None if self.temperature <= 0.0 else self._rng,
+                       rng,                    # traced key; None = greedy
                        step, self.top_k, self.top_p)
 
-    def _init_state(self):
+    def _init_state(self, rng: Optional[jax.Array] = None):
         """Device-resident per-slot decode state. Lives on the device across
         the whole run; admission updates it inside the prefill program and
-        chunks carry it — the host never re-uploads it."""
+        chunks carry it — the host never re-uploads it. When sampling, the
+        run's key travels in the state (a traced input), so successive
+        runs draw fresh streams without recompiling."""
         b = self.batch_size
-        return {
+        state = {
             "cur": jnp.full((b,), self.pad_id, jnp.int32),
             "slen": jnp.zeros((b,), jnp.int32),
             "gcnt": jnp.zeros((b,), jnp.int32),
@@ -125,6 +129,10 @@ class ContinuousBatcher:
                              jnp.int32),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.temperature > 0.0:
+            state["rng"] = rng if rng is not None else \
+                jax.random.fold_in(self._rng, self._runs)
+        return state
 
     def _admit_group_impl(self, params, pixels, pre_ids, post_ids,
                           prompt_len, slot_caps, state, cache):
@@ -155,13 +163,13 @@ class ContinuousBatcher:
             "v": tuple(scatter_layer(f, p)
                        for f, p in zip(cache["v"], group_cache["v"])),
         }
-        first = self._sample(last, state["step"])
+        first = self._sample(last, state.get("rng"), state["step"])
         act_new = (first != self.eos_id) & (caps_new > 1)
         # Reset the admitted slots' history rows (stale tokens from the
         # previous occupant) and record each sequence's first token.
         hist = state["hist"].at[slots].set(self.pad_id)
         hist = hist.at[slots, 0].set(first)
-        state = {
+        new_state = {
             "cur": state["cur"].at[slots].set(
                 jnp.where(act_new, first, self.pad_id)),
             "slen": state["slen"].at[slots].set(prompt_len),
@@ -171,7 +179,9 @@ class ContinuousBatcher:
             "hist": hist,
             "step": state["step"] + 1,
         }
-        return state, cache
+        if "rng" in state:
+            new_state["rng"] = state["rng"]
+        return new_state, cache
 
     def _decode_chunk_impl(self, params, state, cache, stop_free,
                            max_steps):
@@ -185,6 +195,7 @@ class ContinuousBatcher:
         n_new = self.max_new_tokens
         caps = state["caps"]
         base_step = state["step"]
+        rng = state.get("rng")
         col = jnp.arange(n_new, dtype=jnp.int32)[None, :]       # [1, n_new]
 
         def free(act):
@@ -198,7 +209,7 @@ class ContinuousBatcher:
             k, cur, slen, gcnt, act, hist, cache = carry
             logits, cache = self.module.apply(
                 params, cur[:, None], slen, cache, method="decode_step")
-            nxt = self._sample(logits, base_step + k)
+            nxt = self._sample(logits, rng, base_step + k)
             nxt = jnp.where(act, nxt, self.pad_id)
             # Dense masked write of token #gcnt per active slot (a scatter
             # at [i, gcnt[i]] serializes on TPU; this streams [B, n_new]).
@@ -215,11 +226,13 @@ class ContinuousBatcher:
                  state["gcnt"], state["act"], state["hist"], cache)
         k, cur, slen, gcnt, act, hist, cache = jax.lax.while_loop(
             cond, body, carry)
-        state = {"cur": cur, "slen": slen, "gcnt": gcnt, "caps": caps,
-                 "act": act, "hist": hist, "step": base_step + k}
+        new_state = {"cur": cur, "slen": slen, "gcnt": gcnt, "caps": caps,
+                     "act": act, "hist": hist, "step": base_step + k}
+        if rng is not None:
+            new_state["rng"] = rng
         packed = jnp.concatenate(
             [hist, act.astype(jnp.int32)[:, None], gcnt[:, None]], axis=1)
-        return packed, state, cache
+        return packed, new_state, cache
 
     # ------------------------- host loop -------------------------
     def run(self, params, pixel_fn: Callable[[List[int]], jax.Array],
@@ -227,7 +240,8 @@ class ContinuousBatcher:
             prompt_len_scalar: int, n_images: int,
             progress: Optional[Callable[[int], None]] = None,
             max_new_per_image: Optional[Sequence[int]] = None,
-            prefetch_depth: int = 2) -> List[List[int]]:
+            prefetch_depth: int = 2,
+            rng: Optional[jax.Array] = None) -> List[List[int]]:
         """Generate for ``n_images`` inputs.
 
         Args:
@@ -242,6 +256,9 @@ class ContinuousBatcher:
             max_new_per_image: optional per-request generation caps (each
                 clamped to ``max_new_tokens``) — the serving analogue of a
                 per-request ``max_tokens`` parameter.
+            rng: sampling key for this run (temperature>0 only). Default:
+                the constructor key folded with a per-run counter, so
+                repeated runs draw fresh streams.
         Returns: generated token lists, in input order. After the call,
         :attr:`last_latency_s` holds per-image admission→completion latency
         (None for images never admitted, e.g. after an interrupt).
@@ -250,7 +267,8 @@ class ContinuousBatcher:
         n_new = self.max_new_tokens
         cache = init_kv_cache(self.cfg.decoder, B, self.cache_len,
                               self.cache_dtype)
-        state = self._init_state()
+        state = self._init_state(rng)
+        self._runs += 1
         slots = [_Slot() for _ in range(B)]
         results: List[Optional[List[int]]] = [None] * n_images
         self.last_latency_s: List[Optional[float]] = [None] * n_images

@@ -35,6 +35,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.configs import VLMConfig
 from ..models.decoder import init_kv_cache
@@ -72,14 +73,20 @@ class BeamSearchEngine:
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
-        self._search = jax.jit(self._search_impl)
+        # `uniform` (static) selects the scalar-offset KV write: all B*K
+        # beams decode in lockstep, so it only depends on whether the
+        # prompt lengths themselves are batch-constant (checked host-side
+        # in generate()).
+        self._search = jax.jit(self._search_impl,
+                               static_argnames=("uniform",))
 
     # ------------------------------------------------------------------
     def _hyp_rank(self, scores: jax.Array) -> jax.Array:
         """Descending sort indices."""
         return jnp.argsort(-scores, axis=-1)
 
-    def _search_impl(self, params, pixels, pre_ids, post_ids, prompt_len):
+    def _search_impl(self, params, pixels, pre_ids, post_ids, prompt_len,
+                     uniform=True):
         mod = self.module
         B = pixels.shape[0]
         K = self.num_beams
@@ -107,7 +114,6 @@ class BeamSearchEngine:
         hyp_tokens = jnp.full((B, K, max_new), self.pad_id, jnp.int32)
         hyp_lengths = jnp.zeros((B, K), jnp.int32)
         done = jnp.zeros((B,), bool)
-        cur = jnp.full((BK,), self.pad_id, jnp.int32)
 
         prompt_len_k = jnp.repeat(prompt_len, K, axis=0)        # [BK]
 
@@ -195,8 +201,11 @@ class BeamSearchEngine:
              hyp_lengths, done, carry) = state
             cur, cache = carry
             pos = prompt_len_k + step - 1
+            # All B*K beams are in lockstep; with batch-constant prompts
+            # (checked in generate()) the KV write is scalar-offset.
             logits, cache = mod.apply(params, cur[:, None], pos, cache,
-                                      method="decode_step")
+                                      method="decode_step",
+                                      uniform_write=uniform)
             logp = jax.nn.log_softmax(
                 logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
             beam_scores, beam_src, tok, hyps, done = select(
@@ -250,6 +259,9 @@ class BeamSearchEngine:
     # ------------------------------------------------------------------
     def generate(self, params, pixels: jax.Array, pre_ids: jax.Array,
                  post_ids: jax.Array, prompt_len: jax.Array) -> BeamResult:
+        pl_host = np.asarray(prompt_len)
+        uniform = bool((pl_host == pl_host[0]).all())
         tokens, lengths, scores = self._search(params, pixels, pre_ids,
-                                               post_ids, prompt_len)
+                                               post_ids, prompt_len,
+                                               uniform=uniform)
         return BeamResult(tokens=tokens, lengths=lengths, scores=scores)

@@ -23,6 +23,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.configs import VLMConfig
 from ..models.decoder import init_kv_cache
@@ -99,7 +100,10 @@ class GenerationEngine:
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.decoder.eos_token_id if eos_id is None else eos_id
         self.pad_id = cfg.decoder.pad_token_id if pad_id is None else pad_id
-        self._generate = jax.jit(self._generate_impl)
+        # `uniform` is static: it selects the scalar-offset KV write (all
+        # rows decode at the same position) vs the per-row scatter path.
+        self._generate = jax.jit(self._generate_impl,
+                                 static_argnames=("uniform",))
 
     def new_cache(self) -> Dict[str, jax.Array]:
         return init_kv_cache(self.cfg.decoder, self.batch_size,
@@ -107,7 +111,7 @@ class GenerationEngine:
 
     # ------------------------------------------------------------------
     def _generate_impl(self, params, pixels, pre_ids, post_ids, prompt_len,
-                       rng, max_new_per_seq):
+                       rng, max_new_per_seq, uniform=True):
         mod = self.module
         # The cache is allocated INSIDE the jit: passing it as an argument
         # can never alias (it is not an output), which forced XLA to keep
@@ -135,11 +139,12 @@ class GenerationEngine:
         def body(state):
             step, tokens, cur, done, lengths, cache = state
             pos = prompt_len + step - 1           # position of `cur`
-            # prompts are batch-constant (build_prompt_ids), so every slot
-            # decodes at the same position → scalar-offset cache writes
+            # batch-constant prompts (build_prompt_ids) decode every slot at
+            # the same position → scalar-offset cache writes; generate()
+            # checks the lengths and falls back to per-row writes otherwise
             logits, cache = mod.apply(params, cur[:, None], pos, cache,
                                       method="decode_step",
-                                      uniform_write=True)
+                                      uniform_write=uniform)
             nxt = _sample(logits, self.temperature, rng, step,
                           self.top_k, self.top_p)
             nxt = jnp.where(done, self.pad_id, nxt)
@@ -169,8 +174,15 @@ class GenerationEngine:
         if max_new_per_seq is None:
             max_new_per_seq = jnp.full((pixels.shape[0],),
                                        self.max_new_tokens, jnp.int32)
+        # Non-uniform prompt lengths must take the per-row KV write path —
+        # the scalar-offset write would place every row at prompt_len[0]
+        # and silently corrupt longer rows' prompt KV. The host check is
+        # one-time per array: jax caches the fetched host copy.
+        pl_host = np.asarray(prompt_len)
+        uniform = bool((pl_host == pl_host[0]).all())
         tokens, lengths = self._generate(params, pixels, pre_ids, post_ids,
-                                         prompt_len, rng, max_new_per_seq)
+                                         prompt_len, rng, max_new_per_seq,
+                                         uniform=uniform)
         return GenerationResult(tokens=tokens, lengths=lengths)
 
 

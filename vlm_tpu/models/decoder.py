@@ -89,10 +89,12 @@ def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
 
     Three paths, all O(new) on the hot configurations:
 
-    - ``uniform=True`` (static) asserts every sequence writes at the same
-      offset — true for prefill (all start at 0) and for wave-engine decode
-      (prompts are batch-constant). A single scalar-offset
-      ``dynamic_update_slice`` writes only the new rows.
+    - ``uniform=True`` (static) REQUIRES every sequence to write at the
+      same offset; only ``start[0]`` is read. True for prefill (all start
+      at 0) and for wave-engine decode (the engine verifies batch-constant
+      prompt lengths on the host and falls back to the per-row path
+      otherwise). A single scalar-offset ``dynamic_update_slice`` writes
+      only the new rows.
     - non-uniform decode (S == 1, the continuous batcher: every slot is at
       its own length) on TPU: the Pallas scatter-write kernel
       (:func:`vlm_tpu.ops.kvcache.kv_scatter_write`) — per-sequence rows via
