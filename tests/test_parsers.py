@@ -106,3 +106,20 @@ class TestHelpers:
         assert parsers.to_int_safe(float("nan")) == -1
         assert parsers.to_int_safe("3") == 3
         assert parsers.to_float_safe("x", default=-1.0) == -1.0
+
+    def test_float_formatted_csv_labels(self):
+        # pandas writes integer columns containing NaN as floats ("1.0");
+        # those labels must still load rather than degrade to missing.
+        assert parsers.to_int_safe("1.0") == 1
+        assert parsers.to_int_safe("0.0") == 0
+        assert parsers.to_int_safe("1.5") == -1     # genuinely non-integer
+        assert parsers.to_bin_safe("1.0") == 1
+        assert parsers.to_bin_safe("0.0") == 0
+
+    def test_parse_yesno_words_not_substrings(self):
+        assert parsers.parse_yesno("yes.") == 1
+        assert parsers.parse_yesno("no bag") == 0
+        # hedges must NOT count as a confident "no"
+        assert parsers.parse_yesno("unknown") == -1
+        assert parsers.parse_yesno("none visible") == -1
+        assert parsers.parse_yesno("cannot tell") == -1

@@ -58,11 +58,10 @@ def aggregate_counts_from_datasets(
             arr = tmp
         agg += arr
 
-    if isinstance(ds, MultiTaskDataset):
-        for sub in ds.datasets:
-            add_counts(sub)
-    else:
-        add_counts(ds)
+    # MultiTaskDataset.get_train_class_counts already pad-and-sums over its
+    # sub-datasets, so one call covers both shapes (no special-casing —
+    # keeps the alignment logic in one place).
+    add_counts(ds)
 
     if agg is None:
         return None

@@ -253,6 +253,11 @@ class BalancedMultiTaskDataset:
             if not (0.0 < desired < 1.0):
                 raise ValueError(
                     f"desired_fractions['{t}'] must be in (0,1), got {desired}")
+            if t not in self.tasks:
+                # The multi-task trainer always requests emotion balancing
+                # (reference: multitask_trainer.py:117-124); a run whose
+                # task list omits that task simply has nothing to balance.
+                continue
             labels = self._labels_cache.get(t)
             if labels is None:
                 raise ValueError(f"missing label cache for task '{t}'")

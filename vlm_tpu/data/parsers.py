@@ -32,6 +32,7 @@ so MiviaPar zero-shot evaluation is actually meaningful.
 from __future__ import annotations
 
 import random
+import re
 from typing import Any, Dict
 
 MISSING_LABEL = -1
@@ -81,13 +82,21 @@ _AGE_BOUNDS = [2, 9, 19, 29, 39, 49, 59, 69, float("inf")]
 
 
 def to_int_safe(v: Any, default: int = MISSING_LABEL) -> int:
-    """Best-effort int conversion; NaN/None/garbage → ``default``."""
+    """Best-effort int conversion; NaN/None/garbage → ``default``.
+
+    Accepts float-formatted strings ("1.0"): pandas-written CSVs (the
+    reference pipeline's writer) render integer columns containing any NaN
+    as floats, and those labels must still load."""
     try:
         if v is None or v != v:  # NaN check without pandas
             return default
         return int(v)
     except Exception:
-        return default
+        try:
+            f = float(v)
+            return int(f) if f == int(f) else default
+        except Exception:
+            return default
 
 
 def to_float_safe(v: Any, default: float = -1.0) -> float:
@@ -108,24 +117,24 @@ def to_bin_safe(v: Any) -> int:
         return 1
     if s in {"0", "no", "n", "false"}:
         return 0
-    try:
-        i = int(v)
-        return 1 if i == 1 else 0 if i == 0 else MISSING_LABEL
-    except Exception:
-        return MISSING_LABEL
+    i = to_int_safe(v)          # handles ints and "1.0"-style floats
+    return 1 if i == 1 else 0 if i == 0 else MISSING_LABEL
 
 
 def parse_yesno(s: str) -> int:
     """Yes/no field of the VLM answer → 1/0/-1.
 
     The reference calls an undefined ``_parse_yesno`` here (see module
-    docstring); this is the evidently intended implementation: substring
-    match so e.g. "yes." or "no bag" still parse.
-    """
+    docstring); this is the evidently intended implementation: word match
+    so e.g. "yes." or "no bag" still parse, but hedges like "unknown" or
+    "none visible" do NOT count as a confident "no" — they fall through to
+    -1 (missing) and are excluded from accuracy, like any unparseable
+    field."""
     s = s.strip().lower()
-    if "yes" in s:
+    words = re.findall(r"[a-z]+", s)
+    if "yes" in words:
         return 1
-    if "no" in s:
+    if "no" in words:
         return 0
     return to_bin_safe(s)
 

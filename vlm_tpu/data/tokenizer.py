@@ -98,6 +98,12 @@ def load_tokenizer(model_path: Optional[str] = None,
     SentencePiece ``tokenizer.model`` via the dependency-free reader, else
     the byte-level fallback."""
     path = model_path or os.getenv("VLM_TPU_TOKENIZER")
+    if path and not Path(path).exists():
+        # An explicitly requested tokenizer that is missing must not
+        # degrade silently: byte-tokenized prompts produce garbage-quality
+        # generations that still "run".
+        print(f"[WARN] tokenizer path {path!r} does not exist; "
+              f"using byte fallback")
     if path and Path(path).exists():
         p = Path(path)
         sp_file = p if p.is_file() and p.suffix == ".model" else \

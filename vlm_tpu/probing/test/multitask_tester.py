@@ -37,9 +37,13 @@ class MultiTaskTester(BaseTester):
         self.deeper_head = bool(m.get("deeper_head",
                                       self.head_cfg.get("deeper_heads",
                                                         False)))
-        self.freeze_bb = bool(m.get("freeze_backbone",
-                                    self.head_cfg.get("freeze_backbone",
-                                                      False)))
+        bb = (m.get("backbone") or {})
+        # The trainer writes the freeze flag nested (model.backbone.freeze);
+        # honor that first, like SingleTaskTester, with the same default.
+        self.freeze_bb = bool(bb.get("freeze",
+                                     m.get("freeze_backbone",
+                                           self.head_cfg.get(
+                                               "freeze_backbone", True))))
         self.dropout_p = float(m.get("dropout_p",
                                      self.head_cfg.get("dropout_p", 0.3)))
         self.hidden_dim = int(m.get("hidden_dim",

@@ -264,8 +264,10 @@ class MultiTaskTrainer(BaseTrainer):
         for idx, t in enumerate(self.tasks):
             m = self.rm.get_by_index(idx)
             if m is None:
-                raw.append(1.0 / max(self.static_task_weights.get(t, 1.0),
-                                     1e-8))
+                # EMA not initialized for this task yet (epoch 1): fall back
+                # to the user's static weight DIRECTLY — inverting it here
+                # would down-weight exactly the tasks the user up-weighted.
+                raw.append(self.static_task_weights.get(t, 1.0))
             else:
                 raw.append(1.0 / max(float(m), 1e-8))
         avg = sum(raw) / max(1, len(raw))
