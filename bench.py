@@ -183,7 +183,8 @@ def main():
         engine = model._engine(batch, plen_scalar, max_tokens)
         pixels = pixel_fn(list(range(batch)))
         r = engine.generate(model.params, pixels, pre_ids, post_ids, plen,
-                            max_new_per_seq=jnp.asarray(caps[:batch]))
+                            max_new_per_seq=jnp.asarray(
+                                np.resize(caps, batch)))
         _ = np.asarray(r.tokens)  # compile
         t0 = time.perf_counter()
         done = 0
@@ -206,7 +207,8 @@ def main():
         t0 = time.perf_counter()
         done = 0
         while done < n_images:
-            _ = np.asarray(bb.forward(imgs[done % batch:][:batch]))
+            start = done % max(1, len(imgs) - batch + 1)  # rotate, full size
+            _ = np.asarray(bb.forward(imgs[start:start + batch]))
             done += batch
         log(f"[bench] probing feature extraction (B={batch}): "
             f"{done / (time.perf_counter() - t0):.1f} img/s")

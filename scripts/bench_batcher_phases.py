@@ -56,9 +56,8 @@ def main():
                                          size=args.size)
     log(f"[phases] model built in {time.perf_counter() - t0:.1f}s")
 
-    prompt = ("Analyze the person in this image and return comma-separated "
-              "values: Color Upper Clothes,Color Lower Clothes,Gender,"
-              "Presence of bag,Presence of hat")
+    from bench import MIVIA_PROMPT as prompt    # same prompt as the
+    # headline bench, so phase timings decompose the number it reports
     pre_t, post_t, bos_pre, bos_post = model.format_prompt(prompt)
     B, g, K = args.batch, args.admit, max(1, args.sync)
     # Caps must outlast every timed chunk (1 compile + timed + unsynced),

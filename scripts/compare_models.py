@@ -94,9 +94,18 @@ def main():
             # One model instance per (model, quant); datasets share it.
             model_id = (cfg.get("model_ids") or {}).get(
                 model_name, cfg.get("model_id"))
-            model = VLMModelFactory.create_model(
-                model_name, model_id=model_id,
-                quantization=quant, size=cfg.get("model_size"))
+            try:
+                model = VLMModelFactory.create_model(
+                    model_name, model_id=model_id,
+                    quantization=quant, size=cfg.get("model_size"))
+            except Exception as e:    # noqa: BLE001 — recorded per combo
+                # One bad checkpoint must not abort the whole sweep
+                # (incremental flush() exists for exactly this reason).
+                print(f"[sweep][ERR] {model_name}/{quant}: {e}")
+                rows.append({"model": model_name, "quantization": quant,
+                             "error": f"create_model: {e}"})
+                flush()
+                continue
             for ds_name in datasets:
                 row = {"model": model_name, "quantization": quant,
                        "dataset": ds_name}

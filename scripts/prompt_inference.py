@@ -94,10 +94,25 @@ def main():
     print(f"Running inference on dataset: {dataset_name} ({n} images, "
           f"batch={batch_size}, continuous={continuous})")
     if args.profile:
-        # traced region covers the whole inference run (KeyboardInterrupt is
-        # consumed by the partial-eval handlers, so stop_trace below runs)
+        # traced region covers the whole inference run; the finally below
+        # finalizes the trace even if the run raises (an unflushed trace of
+        # a partially-completed long run would otherwise be lost)
         import jax
         jax.profiler.start_trace(args.profile)
+    try:
+        _run_inference(args, cfg, model, dataset, dataset_name, prompt,
+                       output_dir, n, meter, batch_size, max_tokens,
+                       continuous)
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {args.profile}")
+
+
+def _run_inference(args, cfg, model, dataset, dataset_name, prompt,
+                   output_dir, n, meter, batch_size, max_tokens,
+                   continuous):
     if continuous:
         from vlm_tpu.evaluation import run_zero_shot
         summary = run_zero_shot(model, dataset, prompt, output_dir,
@@ -136,10 +151,6 @@ def main():
                                dataset_name=dataset_name)
         else:
             print("Nothing to evaluate.")
-    if args.profile:
-        import jax
-        jax.profiler.stop_trace()
-        print(f"Profiler trace written to {args.profile}")
 
 
 if __name__ == "__main__":

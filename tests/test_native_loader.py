@@ -98,6 +98,41 @@ class TestPNGNative:
         diff = np.abs(nat.astype(int) - pil.astype(int))
         assert diff.mean() < 1.0
 
+    def test_tall_image_center_crop_parity(self, tmp_path):
+        """Extreme aspect ratio + crop mode exercises the row-restricted
+        horizontal pass (only rows inside the crop's vertical support are
+        resampled); output must still match PIL."""
+        rng = np.random.default_rng(7)
+        p = tmp_path / "tall.png"
+        Image.fromarray(rng.integers(0, 255, (1200, 100, 3),
+                                     dtype=np.uint8)).save(p)
+        r = recipe_for("llava")          # shortest_edge_crop mode
+        nat = load_batch([p], r, threads=1)
+        pil = host_resize(Image.open(p).convert("RGB"), r)
+        diff = np.abs(nat[0].astype(int) - pil.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_interlaced_png(self, tmp_path):
+        rng = np.random.default_rng(8)
+        p = tmp_path / "adam7.png"
+        Image.fromarray(rng.integers(0, 255, (80, 60, 3),
+                                     dtype=np.uint8)).save(p, interlace=True)
+        r = recipe_for("paligemma")
+        nat = load_batch([p], r, threads=1)
+        pil = host_resize(Image.open(p).convert("RGB"), r)
+        diff = np.abs(nat[0].astype(int) - pil.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_unsupported_format_in_batch(self, tmp_path, jpeg_dir):
+        """A BMP in the batch must not disable native decode for the rest:
+        the C++ side flags it and the PIL retry fills that slot."""
+        p = tmp_path / "odd.bmp"
+        Image.fromarray(np.random.default_rng(9).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)).save(p)
+        out = load_batch([jpeg_dir[0], p], recipe_for("blip2"))
+        assert out.shape == (2, 224, 224, 3)
+        assert out[1].std() > 0          # BMP slot filled via PIL
+
     def test_mixed_jpeg_png_batch(self, tmp_path, jpeg_dir):
         img = Image.fromarray(np.random.default_rng(6).integers(
             0, 255, (64, 64, 3), dtype=np.uint8))

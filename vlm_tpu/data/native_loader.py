@@ -58,10 +58,11 @@ def load_batch(paths: Sequence, recipe: "PreprocessRecipe", *,
     paths = [str(p) for p in paths]
     n = len(paths)
     s = recipe.image_size
-    supported = all(p.lower().endswith((".jpg", ".jpeg", ".png"))
-                    for p in paths)
     lib = _load_lib() if (use_native is None or use_native) else None
-    if lib is not None and supported and n > 0:
+    # Unsupported formats in the batch are fine: the C++ side flags them
+    # as failures per file and the PIL retry below handles them, keeping
+    # native-speed decode for the supported majority of the batch.
+    if lib is not None and n > 0:
         out = np.zeros((n, s, s, 3), dtype=np.uint8)
         ok = np.zeros((n,), dtype=np.uint8)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])

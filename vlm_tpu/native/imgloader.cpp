@@ -84,6 +84,14 @@ bool decode_jpeg(const char* path, int min_target, std::vector<uint8_t>* out,
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
+  // Decompression-bomb guard (PIL's MAX_IMAGE_PIXELS default): a corrupt
+  // header declaring absurd dimensions must fail the file, not the process.
+  if (*w <= 0 || *h <= 0 ||
+      static_cast<int64_t>(*w) * *h > 178956970LL) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   const int stride = *w * 3;
   out->resize(static_cast<size_t>(stride) * *h);
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -127,14 +135,27 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   png_set_strip_16(png);
   png_set_strip_alpha(png);
   png_set_gray_to_rgb(png);
+  // Interlaced PNGs need multiple row passes with png_read_row.
+  const int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
   *w = png_get_image_width(png, info);
   *h = png_get_image_height(png, info);
+  if (*w <= 0 || *h <= 0 ||
+      static_cast<int64_t>(*w) * *h > 178956970LL) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
   const size_t stride = static_cast<size_t>(*w) * 3;
   out->resize(stride * *h);
-  std::vector<png_bytep> rows(*h);
-  for (int y = 0; y < *h; ++y) rows[y] = out->data() + y * stride;
-  png_read_image(png, rows.data());
+  // Row-by-row reads into the caller's buffer: no locals with non-trivial
+  // destructors live between setjmp and a potential png_error longjmp
+  // (jumping over such a local is UB and leaks its allocation).
+  for (int p = 0; p < passes; ++p) {
+    for (int y = 0; y < *h; ++y) {
+      png_read_row(png, out->data() + y * stride, nullptr);
+    }
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(f);
   return true;
@@ -202,11 +223,24 @@ void resize_rgb(const uint8_t* src, int sw, int sh, double box_x0,
   WeightTable wx = make_weights(sw, out_w, box_x0, box_w);
   WeightTable wy = make_weights(sh, out_h, box_y0, box_h);
 
-  // horizontal pass: src [sh, sw, 3] -> tmp [sh, out_w, 3]
-  std::vector<double> tmp(static_cast<size_t>(sh) * out_w * 3);
-  for (int y = 0; y < sh; ++y) {
+  // The vertical pass only reads source rows inside the crop box's
+  // support; restrict the horizontal pass to those rows (PIL does the
+  // same) — a tall source with a small center crop would otherwise burn
+  // ~sh/box_h times the work.
+  int y_lo = sh, y_hi = 0;
+  for (int j = 0; j < out_h; ++j) {
+    y_lo = std::min(y_lo, wy.bounds[j * 2]);
+    y_hi = std::max(y_hi, wy.bounds[j * 2] + wy.bounds[j * 2 + 1]);
+  }
+  y_lo = std::max(0, y_lo);
+  y_hi = std::min(sh, std::max(y_hi, y_lo));
+  const int rows_used = y_hi - y_lo;
+
+  // horizontal pass: src rows [y_lo, y_hi) -> tmp [rows_used, out_w, 3]
+  std::vector<double> tmp(static_cast<size_t>(rows_used) * out_w * 3);
+  for (int y = y_lo; y < y_hi; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
-    double* trow = &tmp[static_cast<size_t>(y) * out_w * 3];
+    double* trow = &tmp[static_cast<size_t>(y - y_lo) * out_w * 3];
     for (int i = 0; i < out_w; ++i) {
       int xmin = wx.bounds[i * 2];
       int cnt = wx.bounds[i * 2 + 1];
@@ -233,7 +267,7 @@ void resize_rgb(const uint8_t* src, int sw, int sh, double box_x0,
       double r = 0, g = 0, b = 0;
       for (int k = 0; k < cnt; ++k) {
         const double* p =
-            &tmp[(static_cast<size_t>(ymin + k) * out_w + i) * 3];
+            &tmp[(static_cast<size_t>(ymin + k - y_lo) * out_w + i) * 3];
         r += p[0] * w[k];
         g += p[1] * w[k];
         b += p[2] * w[k];
@@ -293,7 +327,15 @@ int vlm_load_batch(const char** paths, int n, int size, int mode,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      bool good = load_one(paths[i], size, mode, out + stride * i);
+      bool good;
+      try {
+        good = load_one(paths[i], size, mode, out + stride * i);
+      } catch (...) {
+        // An exception escaping a std::thread entry is std::terminate —
+        // a single corrupt file (e.g. bad_alloc on absurd declared
+        // dimensions) must flag its slot, not kill the process.
+        good = false;
+      }
       if (!good) {
         std::memset(out + stride * i, 0, stride);
         failures.fetch_add(1);
