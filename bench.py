@@ -155,7 +155,7 @@ def main():
         model.module, model.cfg, batch_size=batch,
         max_prompt_len=plen_scalar, max_new_tokens=max_tokens,
         admit_block=admit, sync_every=sync_every,
-        cache_dtype=model.policy.compute_dtype,
+        cache_dtype=model.kv_cache_dtype(),   # VLM_TPU_KV_CACHE=int8 opt-in
         eos_id=model.tokenizer.eos_id, pad_id=model.tokenizer.pad_id)
     # compile (prefill group + decode step) on a short run
     batcher.run(model.params, pixel_fn, np.asarray(pre_ids[0]),

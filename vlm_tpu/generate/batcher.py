@@ -149,13 +149,17 @@ class ContinuousBatcher:
             params, pixels, pre_ids, post_ids, group_cache, prompt_len,
             method="prefill")
 
-        def scatter_layer(full_l, part_l):
-            # full_l: [B, S, H, D]; part_l: [g, S, H, D]
+        def scatter_one(full, part):
+            # full: [B, S, ...]; part: [g, S, ...]
             def write(i, acc):
-                sl = jax.lax.dynamic_slice_in_dim(part_l, i, 1, axis=0)
+                sl = jax.lax.dynamic_slice_in_dim(part, i, 1, axis=0)
                 return jax.lax.dynamic_update_slice_in_dim(
                     acc, sl, slots[i], axis=0)
-            return jax.lax.fori_loop(0, g, write, full_l)
+            return jax.lax.fori_loop(0, g, write, full)
+
+        def scatter_layer(full_l, part_l):
+            # tree-map covers plain arrays and QuantizedKV (int8) layers
+            return jax.tree.map(scatter_one, full_l, part_l)
 
         cache = {
             "k": tuple(scatter_layer(f, p)

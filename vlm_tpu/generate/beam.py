@@ -251,8 +251,11 @@ class BeamSearchEngine:
     def _gather_cache(cache, beam_src, B, K):
         """Reorder beam cache rows: row (b, k) ← (b, beam_src[b, k])."""
         flat = (jnp.arange(B)[:, None] * K + beam_src).reshape(-1)  # [BK]
+        # tree-map per layer: covers plain arrays and QuantizedKV layers
         return {
-            kv: tuple(jnp.take(layer, flat, axis=0) for layer in layers)
+            kv: tuple(jax.tree.map(lambda a: jnp.take(a, flat, axis=0),
+                                   layer)
+                      for layer in layers)
             for kv, layers in cache.items()
         }
 

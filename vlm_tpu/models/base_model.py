@@ -126,6 +126,16 @@ class VLMModel:
         raise NotImplementedError
 
     # ------------------------- generation -------------------------
+    def kv_cache_dtype(self):
+        """Cache dtype for the decode engines. ``VLM_TPU_KV_CACHE=int8``
+        opts into the quantized cache (halves the per-step HBM cache read —
+        the dominant decode stream for the MHA decoders, LLaVA/BLIP-2);
+        default is the compute dtype."""
+        import os
+        if os.environ.get("VLM_TPU_KV_CACHE", "").lower() == "int8":
+            return "int8"
+        return self.policy.compute_dtype
+
     def _engine(self, batch: int, prompt_len: int,
                 max_tokens: int) -> GenerationEngine:
         key = (batch, prompt_len, max_tokens)
@@ -133,7 +143,7 @@ class VLMModel:
             self._engines[key] = GenerationEngine(
                 self.module, self.cfg, batch_size=batch,
                 max_prompt_len=prompt_len, max_new_tokens=max_tokens,
-                cache_dtype=self.policy.compute_dtype,
+                cache_dtype=self.kv_cache_dtype(),
                 eos_id=self.tokenizer.eos_id,
                 pad_id=self.tokenizer.pad_id)
         return self._engines[key]
@@ -160,7 +170,7 @@ class VLMModel:
                     self.module, self.cfg, batch_size=n,
                     max_prompt_len=int(prompt_len[0]), num_beams=num_beams,
                     max_new_tokens=max_tokens,
-                    cache_dtype=self.policy.compute_dtype,
+                    cache_dtype=self.kv_cache_dtype(),
                     eos_id=self.tokenizer.eos_id,
                     pad_id=self.tokenizer.pad_id)
             result = self._engines[key].generate(
@@ -209,7 +219,7 @@ class VLMModel:
         batcher = ContinuousBatcher(
             self.module, self.cfg, batch_size=bs,
             max_prompt_len=int(prompt_len[0]), max_new_tokens=max_tokens,
-            cache_dtype=self.policy.compute_dtype,
+            cache_dtype=self.kv_cache_dtype(),
             eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id)
         token_lists = batcher.run(
             self.params, pixel_fn,

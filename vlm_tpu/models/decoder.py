@@ -24,7 +24,7 @@ offset-by-2 learned positions, GQA/MQA via ``kv_heads``, biased projections
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,6 +33,32 @@ import jax.numpy as jnp
 from ..ops.attention import attention
 from .configs import DecoderConfig
 from .layers import Dense, LayerNorm, RMSNorm, activation
+
+
+class QuantizedKV(NamedTuple):
+    """One int8-quantized cache layer: values + per-row (abs-max) scales.
+
+    ``q`` [B, max_len, kv_heads, D] int8; ``scale`` [B, max_len, kv_heads, 1]
+    float32 with ``value ≈ q * scale``. A NamedTuple, so it is a pytree —
+    donation, sharding and tree-mapped cache surgery (beam gather, batcher
+    slot scatter) all work unchanged."""
+    q: jax.Array
+    scale: jax.Array
+
+
+def quantize_kv_rows(x: jax.Array) -> "QuantizedKV":
+    """Symmetric int8 per-(seq, pos, head) row quantization of [B,S,H,D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return QuantizedKV(q=q, scale=scale)
+
+
+def dequantize_kv(ckv: "QuantizedKV", dtype) -> jax.Array:
+    # The multiply fuses into the attention reduction under XLA: HBM reads
+    # stay int8 (+ the tiny scale array); bf16 values exist only on-chip.
+    return ckv.q.astype(dtype) * ckv.scale.astype(dtype)
 
 
 # ------------------------- rotary embeddings -------------------------
@@ -78,6 +104,18 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
       step or serialized ``.at[i].set`` chains).
     """
     shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    if dtype in ("int8", jnp.int8):
+        # Quantized cache: int8 rows + a per-(seq, pos, head) float scale.
+        # Halves the decode-step HBM cache read — the dominant stream for
+        # MHA decoders (LLaVA/BLIP-2: 32 KV heads; measured ~4 GB/step at
+        # 12 slots on 7B in bf16). Dequantization fuses into the attention
+        # reduction (XLA), so the bf16 values never round-trip HBM.
+        def layer():
+            return QuantizedKV(
+                q=jnp.zeros(shape, jnp.int8),
+                scale=jnp.zeros(shape[:-1] + (1,), jnp.float32))
+        return {"k": tuple(layer() for _ in range(cfg.layers)),
+                "v": tuple(layer() for _ in range(cfg.layers))}
     return {"k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.layers)),
             "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.layers))}
 
@@ -104,19 +142,45 @@ def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
       (streams the full cache layer: ~3.5 GB/step at batch 128 on 3B).
     - anything else: the masked-select fallback (full-layer stream, correct
       everywhere).
+
+    An int8 cache layer (:class:`QuantizedKV`) quantizes the new rows first
+    and writes values + scales through the same three paths.
     """
     k = k.transpose(0, 2, 1, 3)                        # [B, S, H, D]
     v = v.transpose(0, 2, 1, 3)
+    quantized = isinstance(ck, QuantizedKV)
+    if quantized:
+        qk, qv = quantize_kv_rows(k), quantize_kv_rows(v)
     if uniform:
         zero = jnp.zeros((), jnp.int32)
         off = (zero, start[0].astype(jnp.int32), zero, zero)
-        return (jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), off),
-                jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), off))
+        dus = jax.lax.dynamic_update_slice
+        if quantized:
+            return (QuantizedKV(dus(ck.q, qk.q, off),
+                                dus(ck.scale, qk.scale, off)),
+                    QuantizedKV(dus(cv.q, qv.q, off),
+                                dus(cv.scale, qv.scale, off)))
+        return (dus(ck, k.astype(ck.dtype), off),
+                dus(cv, v.astype(cv.dtype), off))
     from ..ops._compat import pallas_interpret
     from ..ops.kvcache import kv_masked_write, kv_scatter_write
     if k.shape[1] == 1 and (jax.devices()[0].platform == "tpu"
                             or pallas_interpret()):
+        if quantized:
+            # int8 rows take the O(new) scatter kernel; the [B,S,H,1]
+            # scale arrays are tiny (<2 MB/layer) — the masked full-layer
+            # stream is cheaper than a second badly-tiled kernel.
+            q8k, q8v = kv_scatter_write(ck.q, cv.q, qk.q, qv.q, start)
+            return (QuantizedKV(q8k, kv_masked_write(ck.scale, qk.scale,
+                                                     start)),
+                    QuantizedKV(q8v, kv_masked_write(cv.scale, qv.scale,
+                                                     start)))
         return kv_scatter_write(ck, cv, k, v, start)
+    if quantized:
+        return (QuantizedKV(kv_masked_write(ck.q, qk.q, start),
+                            kv_masked_write(ck.scale, qk.scale, start)),
+                QuantizedKV(kv_masked_write(cv.q, qv.q, start),
+                            kv_masked_write(cv.scale, qv.scale, start)))
     return (kv_masked_write(ck, k, start), kv_masked_write(cv, v, start))
 
 
@@ -154,14 +218,18 @@ class DecoderAttention(nn.Module):
         kv_layout = "bhsd"
         if cache_kv is not None:
             ck, cv = cache_kv                      # [B, max, kvH, D]
-            ck, cv = _write_kv(ck, cv, k.astype(ck.dtype),
-                               v.astype(cv.dtype), write_start,
+            ck, cv = _write_kv(ck, cv, k, v, write_start,
                                uniform=uniform_write)
             new_cache = (ck, cv)
             if s == 1:
                 # decode step: attend over the cache (in its native
-                # length-major layout), masked by kv_len
-                k_att, v_att = ck, cv
+                # length-major layout), masked by kv_len; int8 caches
+                # dequantize on-chip (fused into the attention reads)
+                if isinstance(ck, QuantizedKV):
+                    k_att = dequantize_kv(ck, self.dtype)
+                    v_att = dequantize_kv(cv, self.dtype)
+                else:
+                    k_att, v_att = ck, cv
                 kv_layout = "bshd"
                 att_causal = False
                 att_kv_len = kv_len
