@@ -242,6 +242,22 @@ class TestInt8KVCache:
         np.testing.assert_array_equal(np.asarray(r_q8.tokens),
                                       np.asarray(r_q8b.tokens))
 
+    def test_beam_runs_with_int8_cache(self, model):
+        """Beam expansion and gather are cache-surgery sites that must
+        handle QuantizedKV layers (tree-mapped repeat/take)."""
+        from vlm_tpu.generate.beam import BeamSearchEngine
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        engine = BeamSearchEngine(module, cfg, batch_size=2,
+                                  max_prompt_len=2 + t, num_beams=2,
+                                  max_new_tokens=4, cache_dtype="int8")
+        px = _pixels(cfg, 2, seed=13)
+        res = engine.generate(params, px, jnp.zeros((2, 0), jnp.int32),
+                              jnp.ones((2, 2), jnp.int32),
+                              jnp.full((2,), 2 + t, jnp.int32))
+        assert res.tokens.shape[0] == 2
+        assert (np.asarray(res.lengths) >= 1).all()
+
     def test_batcher_matches_wave_engine_int8(self, model):
         """Both engines quantize identically, so greedy tokens must agree
         exactly under the int8 cache too."""

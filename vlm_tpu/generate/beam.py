@@ -99,8 +99,11 @@ class BeamSearchEngine:
                               self.cache_dtype)
         last_logits, cache = mod.apply(params, pixels, pre_ids, post_ids,
                                        cache, prompt_len, method="prefill")
+        # tree-map per layer: covers plain arrays and QuantizedKV layers
         cache = {
-            kv: tuple(jnp.repeat(layer, K, axis=0) for layer in layers)
+            kv: tuple(jax.tree.map(lambda a: jnp.repeat(a, K, axis=0),
+                                   layer)
+                      for layer in layers)
             for kv, layers in cache.items()
         }
         logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)

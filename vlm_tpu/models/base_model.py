@@ -138,7 +138,9 @@ class VLMModel:
 
     def _engine(self, batch: int, prompt_len: int,
                 max_tokens: int) -> GenerationEngine:
-        key = (batch, prompt_len, max_tokens)
+        # the cache dtype is part of the key: flipping VLM_TPU_KV_CACHE
+        # mid-process must not silently reuse a stale-dtype engine
+        key = (batch, prompt_len, max_tokens, str(self.kv_cache_dtype()))
         if key not in self._engines:
             self._engines[key] = GenerationEngine(
                 self.module, self.cfg, batch_size=batch,
@@ -164,7 +166,8 @@ class VLMModel:
             add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
         if num_beams > 1:
             from ..generate.beam import BeamSearchEngine
-            key = ("beam", n, int(prompt_len[0]), max_tokens, num_beams)
+            key = ("beam", n, int(prompt_len[0]), max_tokens, num_beams,
+                   str(self.kv_cache_dtype()))
             if key not in self._engines:
                 self._engines[key] = BeamSearchEngine(
                     self.module, self.cfg, batch_size=n,

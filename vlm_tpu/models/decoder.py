@@ -47,12 +47,11 @@ class QuantizedKV(NamedTuple):
 
 
 def quantize_kv_rows(x: jax.Array) -> "QuantizedKV":
-    """Symmetric int8 per-(seq, pos, head) row quantization of [B,S,H,D]."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                 -127, 127).astype(jnp.int8)
-    return QuantizedKV(q=q, scale=scale)
+    """Symmetric int8 per-(seq, pos, head) row quantization of [B,S,H,D] —
+    the same abs-max/127 scheme as activation quantization (one shared
+    implementation, `vlm_tpu.ops.quant.quantize_activations`)."""
+    from ..ops.quant import quantize_activations
+    return QuantizedKV(*quantize_activations(x))
 
 
 def dequantize_kv(ckv: "QuantizedKV", dtype) -> jax.Array:
