@@ -67,6 +67,10 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
     print("Output directory:", output_dir)
 
+    if str(cfg.get("kv_cache") or "").lower() == "int8":
+        # config-surface alias for the engine-level opt-in (the model
+        # object reads the env when building its engines)
+        os.environ["VLM_TPU_KV_CACHE"] = "int8"
     model = VLMModelFactory.create_model(
         model_name, model_id=cfg.get("model_id"), quantization=quantization,
         size=cfg.get("model_size"))
