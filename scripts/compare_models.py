@@ -60,6 +60,8 @@ def main():
         cfg_path = project_root() / cfg_path
     cfg = yaml.safe_load(cfg_path.read_text())
 
+    if str(cfg.get("kv_cache") or "").lower() == "int8":
+        os.environ["VLM_TPU_KV_CACHE"] = "int8"
     models = cfg.get("models", ["llava", "paligemma", "blip2"])
     quants = cfg.get("quantizations", ["bf16"])
     datasets = cfg["datasets"]

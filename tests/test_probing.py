@@ -156,6 +156,40 @@ class TestSingleTaskTester:
 
 
 class TestMultiTask:
+    def test_static_weights_survive_uninitialized_ema(self, in_env):
+        """Epoch-1 fallback (EMA not yet initialized) must use the user's
+        static task weights DIRECTLY — a regression here previously fed
+        their inverses, training up-weighted tasks with LESS weight."""
+        root, base = in_env
+        from vlm_tpu.probing.train.multitask_trainer import MultiTaskTrainer
+        cfg = {
+            "model": {"name": "llava", "quantization": "fp32",
+                      "size": "test", "dropout_p": 0.3,
+                      "deeper_head": False, "hidden_dim": 64,
+                      "backbone": {"freeze": True, "unfreeze_last_k": 0,
+                                   "unfreeze_parts": "all",
+                                   "include_embeddings": True}},
+            "data": {"base_path": str(base), "batch_size": 8,
+                     "use_augmentation": False, "use_sampler": False},
+            "train": {"seed": 0, "epochs": 1, "lr": 1e-3,
+                      "backbone_lr": 1e-4, "weight_decay": 0.0,
+                      "patience": 2, "eval_every": 1,
+                      "running_means": {"enabled": True, "alpha": 0.9},
+                      "task_weights": {"gender": 2.0, "age": 0.5,
+                                       "emotion": 1.0},
+                      "scheduler": {"factor": 0.1, "threshold": 1e-4}},
+            "tasks": ["gender", "age", "emotion"], "_cfg_path": "t.yaml",
+        }
+        ckroot = root / "probing" / "multitask_probing" / "checkpoints"
+        tr = MultiTaskTrainer(cfg, "w_fallback", ckroot)
+        w = tr._compute_task_weights()
+        raw = [2.0, 0.5, 1.0]
+        avg = sum(raw) / 3
+        # normalized-to-mean-1 statics, same ORDER as configured
+        assert abs(w["gender"] - 2.0 / avg) < 1e-6
+        assert abs(w["age"] - 0.5 / avg) < 1e-6
+        assert w["gender"] > w["emotion"] > w["age"]
+
     def test_train_and_test(self, in_env):
         root, base = in_env
         from vlm_tpu.core.config import make_run_name
