@@ -39,14 +39,6 @@ class TestNativeLoader:
         assert diff.mean() < 1.0
         assert (diff > 20).mean() < 0.001
 
-    def test_png_falls_back_to_pil(self, tmp_path):
-        img = Image.fromarray(np.random.default_rng(1).integers(
-            0, 255, (64, 64, 3), dtype=np.uint8))
-        p = tmp_path / "x.png"
-        img.save(p)
-        out = load_batch([p], recipe_for("paligemma"))
-        assert out.shape == (1, 224, 224, 3)
-
     def test_corrupt_jpeg_recovers(self, tmp_path, jpeg_dir):
         bad = tmp_path / "bad.jpg"
         bad.write_bytes(b"\xff\xd8\xff\xe0 this is not a jpeg")
