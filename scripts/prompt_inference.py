@@ -73,7 +73,14 @@ def main():
         os.environ["VLM_TPU_KV_CACHE"] = "int8"
     model = VLMModelFactory.create_model(
         model_name, model_id=cfg.get("model_id"), quantization=quantization,
-        size=cfg.get("model_size"))
+        size=cfg.get("model_size"), mesh=cfg.get("mesh"))
+    if model.mesh is not None:
+        # Guard against a silently-dead mesh knob: params must actually be
+        # placed (and TP-split when model>1) on the configured mesh.
+        from vlm_tpu.parallel.sharding import assert_params_sharded
+        assert_params_sharded(model.params, model.mesh)
+        print(f"Mesh active: {dict(model.mesh.shape)} over "
+              f"{model.mesh.size} devices")
 
     ds_cfg = cfg.get("dataset", {}) or {}
     dataset = DatasetFactory.create_dataset(
@@ -117,12 +124,17 @@ def main():
 def _run_inference(args, cfg, model, dataset, dataset_name, prompt,
                    output_dir, n, meter, batch_size, max_tokens,
                    continuous):
+    # Decoding knobs from the config (reference capability surface:
+    # model.generate kwargs, /root/reference/models/base_model.py:68-69).
+    gen = {k: cfg[k] for k in
+           ("num_beams", "temperature", "top_k", "top_p", "seed")
+           if cfg.get(k) is not None}
     if continuous:
         from vlm_tpu.evaluation import run_zero_shot
         summary = run_zero_shot(model, dataset, prompt, output_dir,
                                 max_tokens=max_tokens,
                                 batch_size=batch_size, limit=args.limit,
-                                progress=meter.update)
+                                progress=meter.update, generation=gen)
         meter.report("prompt_inference")
         if summary["partial"]:
             print(f"Interrupted: evaluated "
@@ -142,7 +154,8 @@ def _run_inference(args, cfg, model, dataset, dataset_name, prompt,
                 if k < batch_size:
                     images = images + [images[-1]] * (batch_size - k)
                 outputs = model.generate_batch(images, prompt,
-                                               max_tokens=max_tokens)[:k]
+                                               max_tokens=max_tokens,
+                                               **gen)[:k]
                 for out, label in zip(outputs, labels[start:start + k]):
                     preds.append(dataset.get_labels_from_text_output(out))
                     gts.append(label)

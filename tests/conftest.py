@@ -46,45 +46,11 @@ os.environ.setdefault("VLM_TPU_ROOT", str(REPO_ROOT))
 # reference implies but never ships (SURVEY.md §4).
 # --------------------------------------------------------------------------
 
-def _write_image(path: Path, seed: int, size=(32, 32)):
-    rng = np.random.default_rng(seed)
-    arr = rng.integers(0, 255, size=(*size, 3), dtype=np.uint8)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(arr).save(path)
-
-
-def make_face_dataset(base: Path, name: str, split: str, rows, *,
-                      extensionless: bool = False):
-    """Create a face-layout dataset. ``rows`` is a list of dicts with keys
-    gender/age/ethnicity/emotion/identity (missing → empty CSV field)."""
-    droot = base / name / split
-    (droot / "images").mkdir(parents=True, exist_ok=True)
-    lines = ["Path,Gender,Age,Ethnicity,Facial Emotion,Identity"]
-    for i, r in enumerate(rows):
-        img_name = f"img_{i:04d}.jpg"
-        _write_image(droot / "images" / img_name, seed=i)
-        csv_path = f"{name}/{split}/images/" + (
-            f"img_{i:04d}" if extensionless else img_name)
-        vals = [str(r.get(k, "")) for k in
-                ("gender", "age", "ethnicity", "emotion")]
-        ident = str(r.get("identity", ""))
-        lines.append(",".join([csv_path] + vals + [ident]))
-    (droot / "labels.csv").write_text("\n".join(lines) + "\n")
-    return droot
-
-
-def make_mivia_dataset(base: Path, split: str, rows):
-    """Create a MiviaPar-layout dataset. ``rows`` is a list of
-    (upper, lower, gender, bag, hat) tuples."""
-    droot = base / "MiviaPar" / split
-    (droot / "images").mkdir(parents=True, exist_ok=True)
-    lines = []
-    for i, r in enumerate(rows):
-        img_name = f"p_{i:04d}.jpg"
-        _write_image(droot / "images" / img_name, seed=1000 + i)
-        lines.append(",".join([img_name] + [str(v) for v in r]))
-    (droot / "labels.csv").write_text("\n".join(lines) + "\n")
-    return droot
+# The builders live in the package so the driver's dryrun can reuse them;
+# re-exported here for the test modules' existing imports.
+from vlm_tpu.testing.synthetic import (make_face_dataset,  # noqa: E402,F401
+                                       make_mivia_dataset,
+                                       write_image as _write_image)
 
 
 @pytest.fixture

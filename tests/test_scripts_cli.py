@@ -67,6 +67,33 @@ class TestPromptInferenceCLI:
         assert len(preds) == 2
         assert set(preds[0]) == {"upper", "lower", "gender", "bag", "hat"}
 
+    def test_generation_knobs_from_config(self, project_root):
+        """num_beams / temperature / top_k / top_p are config keys threaded
+        to the engines (reference: model.generate kwargs surface,
+        /root/reference/models/base_model.py:68-69)."""
+        root, base = project_root
+        cfg = {
+            "model_name": "paligemma", "quantization": "fp32",
+            "model_size": "test", "dataset_name": "MiviaPar",
+            "max_tokens": 5, "batch_size": 2,
+            "num_beams": 2,
+            "dataset": {"base_path": str(base)},
+            "prompts": {"MiviaPar": "attributes?"},
+        }
+        p = root / "pi_beam.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        _run("prompt_inference.py", ["--config", str(p)], root)
+        out = root / "eval" / "prompt_inference" / "paligemma_fp32" / \
+            "MiviaPar"
+        assert json.loads((out / "preds.json").read_text())
+
+        cfg.update({"num_beams": 1, "temperature": 0.8, "top_k": 5,
+                    "top_p": 0.9, "seed": 3})
+        p2 = root / "pi_sample.yaml"
+        p2.write_text(yaml.safe_dump(cfg))
+        _run("prompt_inference.py", ["--config", str(p2)], root)
+        assert json.loads((out / "metrics.json").read_text())
+
 
 class TestProbeCLIs:
     def test_train_then_test(self, project_root):

@@ -64,11 +64,52 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_from_config(spec) -> Optional[Mesh]:
+    """Resolve the config surface's ``mesh: {data, model}`` block to a Mesh.
+
+    This is the product-side entry: the reference reaches multi-device with a
+    single config-driven knob (``device_map="auto"``,
+    `/root/reference/models/base_model.py:81`); here the same role is played
+    by the YAML ``mesh:`` block, consumed by the model factory, the scripts
+    and the trainers/testers.
+
+    Accepts ``None`` (single-device), an existing :class:`Mesh` (passed
+    through), or a dict with ``data`` (``-1`` = all remaining devices,
+    default) and ``model`` (tensor-parallel ways, default 1). Returns
+    ``None`` when the resolved mesh would be 1x1, so single-device runs keep
+    the exact unsharded code path.
+    """
+    if spec is None:
+        return None
+    if isinstance(spec, Mesh):
+        return spec if spec.size > 1 else None
+    if not isinstance(spec, dict):
+        raise TypeError(f"mesh config must be a dict or Mesh, got {spec!r}")
+    data = int(spec.get("data", -1) if spec.get("data") is not None else -1)
+    model = int(spec.get("model", 1) or 1)
+    n = len(jax.devices())
+    if model < 1:
+        raise ValueError(f"mesh.model must be >= 1, got {model}")
+    if data == -1:
+        data = max(1, n // model)
+    if data * model > n:
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {n}")
+    if data * model == 1:
+        return None
+    return make_mesh(data=data, model=model,
+                     devices=jax.devices()[:data * model])
+
+
 @contextlib.contextmanager
 def maybe_mesh(mesh: Optional[Mesh]):
     """Enter ``mesh`` as ambient if given, else no-op."""
     if mesh is None:
         yield
+    elif hasattr(jax, "set_mesh"):
+        with jax.set_mesh(mesh):
+            yield
     else:
         with mesh:
             yield

@@ -113,9 +113,13 @@ class DatasetFactory:
 
     @classmethod
     def load_task_map(cls, *, force: bool = False) -> None:
-        if cls._task_datasets is not None and not force:
-            return
         path = cls._yaml_path()
+        # The cache is keyed on the resolved path: a process that changes
+        # VLM_TPU_ROOT (driver dryrun, multi-project tooling) must not keep
+        # serving the previous root's task map.
+        if (cls._task_datasets is not None and not force
+                and getattr(cls, "_task_map_path", None) == path):
+            return
         if not path.exists():
             raise FileNotFoundError(
                 f"task/datasets YAML not found: {path}. "
@@ -149,14 +153,17 @@ class DatasetFactory:
             task_datasets[split] = task_map_norm
 
         cls._task_datasets = task_datasets
+        cls._task_map_path = path
         cls.TASK_TO_DATASETS_TRAIN = task_datasets.get("train", {})
         cls.TASK_TO_DATASETS_VAL = task_datasets.get("val", {})
         cls.TASK_TO_DATASETS_TEST = task_datasets.get("test", {})
 
     @classmethod
     def _ensure_loaded(cls) -> None:
-        if cls._task_datasets is None:
-            cls.load_task_map()
+        # load_task_map is itself a cheap no-op when the cached map is
+        # current for the resolved yaml path (and reloads when the project
+        # root moved).
+        cls.load_task_map()
 
     @classmethod
     def _task_map_for_split(cls, split: str) -> Dict[str, List[str]]:

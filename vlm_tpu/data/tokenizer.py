@@ -14,6 +14,7 @@ ship their own tokenizer files, which :func:`load_tokenizer` picks up.
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import List, Optional, Protocol, Sequence
 
@@ -103,7 +104,7 @@ def load_tokenizer(model_path: Optional[str] = None,
         # degrade silently: byte-tokenized prompts produce garbage-quality
         # generations that still "run".
         print(f"[WARN] tokenizer path {path!r} does not exist; "
-              f"using byte fallback")
+              f"using byte fallback", file=sys.stderr)
     if path and Path(path).exists():
         p = Path(path)
         sp_file = p if p.is_file() and p.suffix == ".model" else \
@@ -113,11 +114,11 @@ def load_tokenizer(model_path: Optional[str] = None,
         except Exception as e:
             if not sp_file.exists():
                 print(f"[WARN] HF tokenizer load failed ({e}); "
-                      f"using byte fallback")
+                      f"using byte fallback", file=sys.stderr)
         if sp_file.exists():
             try:
                 return SPTokenizer(str(sp_file))
             except Exception as e:
                 print(f"[WARN] sentencepiece load failed ({e}); "
-                      f"using byte fallback")
+                      f"using byte fallback", file=sys.stderr)
     return ByteTokenizer(bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)

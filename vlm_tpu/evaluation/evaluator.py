@@ -93,6 +93,11 @@ class Evaluator:
 
     @staticmethod
     def _plot_confusion_matrix(cm, labels, task, acc, output_path):
+        # Rendering recipe (Blues colormap, rotated x labels, per-cell
+        # counts with threshold-switched text color, title format) is
+        # carried over from the reference implementation at
+        # /root/reference/datasets_vlm/evaluate_dataset.py:52-68 so the PNG
+        # artifacts are visually identical for downstream consumers.
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

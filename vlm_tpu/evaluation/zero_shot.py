@@ -17,9 +17,17 @@ def run_zero_shot(model, dataset, prompt: str, output_dir, *,
                   max_tokens: int = 100,
                   batch_size: Optional[int] = None,
                   limit: Optional[int] = None,
-                  progress=None) -> Dict[str, Any]:
+                  progress=None,
+                  generation: Optional[Dict[str, Any]] = None
+                  ) -> Dict[str, Any]:
     """Run continuous-batched zero-shot inference over ``dataset`` and write
     evaluator artifacts to ``output_dir``.
+
+    ``generation`` optionally carries the decoding knobs of the reference's
+    ``model.generate`` kwargs surface
+    (`/root/reference/models/base_model.py:68-69`): ``num_beams``,
+    ``temperature``, ``top_k``, ``top_p``, ``seed`` — forwarded to
+    :meth:`VLMModel.generate_dataset`.
 
     Returns a summary dict with ``metrics``, ``images_requested``,
     ``images_completed``, ``elapsed_sec``, ``images_per_sec`` and
@@ -30,10 +38,17 @@ def run_zero_shot(model, dataset, prompt: str, output_dir, *,
     paths = dataset.image_paths()[:n]
     labels = dataset.labels_list()[:n]
 
+    gen = dict(generation or {})
+    allowed = {"num_beams", "temperature", "top_k", "top_p", "seed"}
+    unknown = set(gen) - allowed
+    if unknown:
+        raise ValueError(f"unknown generation knobs: {sorted(unknown)} "
+                         f"(allowed: {sorted(allowed)})")
+
     t0 = time.perf_counter()
     outputs = model.generate_dataset(paths, prompt, max_tokens=max_tokens,
                                      batch_size=batch_size,
-                                     progress=progress)
+                                     progress=progress, **gen)
     elapsed = time.perf_counter() - t0
 
     preds, gts = [], []

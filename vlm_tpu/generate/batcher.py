@@ -68,10 +68,23 @@ class ContinuousBatcher:
                  top_k: int = 0,
                  top_p: float = 1.0,
                  rng: Optional[jax.Array] = None,
-                 sync_every: int = 0):
+                 sync_every: int = 0,
+                 mesh=None):
         self.module = module
         self.cfg = cfg
         self.batch_size = batch_size
+        #: optional (data, model) mesh: the slot-state and KV cache shard
+        #: their batch (slot) dim over "data", so decode chunks run SPMD
+        #: data-parallel while the TP params shard the matmuls. The caller
+        #: is responsible for running :meth:`run` under the ambient mesh
+        #: (``maybe_mesh``) and for batch_size % data == 0.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..core.mesh import DATA_AXIS
+            if batch_size % mesh.shape[DATA_AXIS] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"data axis {mesh.shape[DATA_AXIS]}")
         self.max_new_tokens = max_new_tokens
         self.max_prompt_len = max_prompt_len
         self.cache_len = max_prompt_len + max_new_tokens
@@ -266,12 +279,27 @@ class ContinuousBatcher:
         Returns: generated token lists, in input order. After the call,
         :attr:`last_latency_s` holds per-image admission→completion latency
         (None for images never admitted, e.g. after an interrupt).
+
+        Latency semantics: completion is observed at chunk sync, so
+        ``last_latency_s`` is quantized to admission-cycle granularity —
+        with ``sync_every=0`` a chunk can span up to ``max_new_tokens``
+        steps, so a slot that finished early in a long chunk reports the
+        chunk's end time. This is the honest *host-observable* latency (a
+        caller could not have acted sooner); set a modest ``sync_every``
+        when tight latency percentiles are the measurement target.
         """
         B = self.batch_size
         n_new = self.max_new_tokens
         cache = init_kv_cache(self.cfg.decoder, B, self.cache_len,
                               self.cache_dtype)
         state = self._init_state(rng)
+        if self.mesh is not None:
+            # Slot-dim sharding over "data": jit carries these shardings
+            # through every admit/decode program, so the cache stream and
+            # decode matmuls split across the data axis.
+            from ..parallel.sharding import shard_batch
+            cache = shard_batch(cache, self.mesh)
+            state = shard_batch(state, self.mesh)
         self._runs += 1
         slots = [_Slot() for _ in range(B)]
         results: List[Optional[List[int]]] = [None] * n_images

@@ -48,8 +48,15 @@ class VisionBackbone:
 
     def __init__(self, cfg: VLMConfig, vision_params: Any,
                  policy: DTypePolicy, attn_impl: str = "auto",
-                 batch_size: int = 64):
+                 batch_size: int = 64, mesh=None):
+        from ..core.mesh import DATA_AXIS, pad_to_multiple
         self.cfg = cfg
+        #: optional (data, model) mesh inherited from the parent VLMModel —
+        #: feature-extraction batches shard over "data", the tower's kernels
+        #: keep the TP sharding they were placed with.
+        self.mesh = mesh
+        if mesh is not None:
+            batch_size = pad_to_multiple(batch_size, mesh.shape[DATA_AXIS])
         self.vit_cfg = cfg.vision
         self.output_dim = cfg.backbone_dim
         self.recipe: PreprocessRecipe = recipe_for(cfg.name)
@@ -88,10 +95,16 @@ class VisionBackbone:
         ``strategy`` overrides the pooling ("cls"/"mean") like the reference
         LLaVA backbone's argument (llava.py:101).
         """
+        from ..core.mesh import DATA_AXIS, maybe_mesh
         pixels = self._to_pixels(images)
-        return self._jit_features(self.params, pixels,
-                                  pooling=strategy or
-                                  self.cfg.backbone_pooling)
+        if (self.mesh is not None
+                and pixels.shape[0] % self.mesh.shape[DATA_AXIS] == 0):
+            from ..parallel.sharding import shard_batch
+            pixels = shard_batch(pixels, self.mesh)
+        with maybe_mesh(self.mesh):
+            return self._jit_features(self.params, pixels,
+                                      pooling=strategy or
+                                      self.cfg.backbone_pooling)
 
     __call__ = forward
 

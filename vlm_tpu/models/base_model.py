@@ -47,9 +47,16 @@ class VLMModel:
     def __init__(self, model_id: Optional[str] = None,
                  device=None, quantization: str = "fp32", *,
                  size: Optional[str] = None, seed: int = 0,
-                 batch_size: int = 8, attn_impl: str = "auto"):
+                 batch_size: int = 8, attn_impl: str = "auto",
+                 mesh=None):
+        from ..core.mesh import mesh_from_config
         from .configs import VLM_CONFIGS
         self.model_id = model_id
+        #: config-driven multi-device placement — the TPU-native successor of
+        #: the reference's ``device_map="auto"`` knob
+        #: (`/root/reference/models/base_model.py:81`): a (data, model) mesh
+        #: built from the YAML ``mesh:`` block. None = single device.
+        self.mesh = mesh_from_config(mesh)
         self.quantization = quantization
         self.policy: DTypePolicy = policy_for(quantization)
         self.cfg: VLMConfig = VLM_CONFIGS[self.family](size or self.default_size())
@@ -76,8 +83,18 @@ class VLMModel:
             attn_impl=attn_impl,
             quant_bits=self.policy.quantized_bits)
         self._maybe_load_weights()
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_params
+            self.params = shard_params(self.params, self.mesh)
+            print(f"Model params sharded over mesh "
+                  f"{dict(self.mesh.shape)}")
         self._engines: Dict[Any, GenerationEngine] = {}
         print(f"Model {self.family} ({self.quantization}) ready.")
+
+    def _data_size(self) -> int:
+        """Size of the mesh's data axis (1 when single-device)."""
+        from ..core.mesh import DATA_AXIS
+        return self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
 
     #: production default sizes, like the reference's default HF ids
     #: (llava.py:24, paligemma.py:37, blip2.py:24); tests pass size="test".
@@ -136,15 +153,18 @@ class VLMModel:
             return "int8"
         return self.policy.compute_dtype
 
-    def _engine(self, batch: int, prompt_len: int,
-                max_tokens: int) -> GenerationEngine:
+    def _engine(self, batch: int, prompt_len: int, max_tokens: int,
+                temperature: float = 0.0, top_k: int = 0,
+                top_p: float = 1.0) -> GenerationEngine:
         # the cache dtype is part of the key: flipping VLM_TPU_KV_CACHE
         # mid-process must not silently reuse a stale-dtype engine
-        key = (batch, prompt_len, max_tokens, str(self.kv_cache_dtype()))
+        key = (batch, prompt_len, max_tokens, str(self.kv_cache_dtype()),
+               temperature, top_k, top_p)
         if key not in self._engines:
             self._engines[key] = GenerationEngine(
                 self.module, self.cfg, batch_size=batch,
                 max_prompt_len=prompt_len, max_new_tokens=max_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
                 cache_dtype=self.kv_cache_dtype(),
                 eos_id=self.tokenizer.eos_id,
                 pad_id=self.tokenizer.pad_id)
@@ -152,36 +172,63 @@ class VLMModel:
 
     def generate_batch(self, images: Sequence[Image.Image], prompt: str,
                        max_tokens: int = 100,
-                       num_beams: int = 1) -> List[str]:
+                       num_beams: int = 1,
+                       temperature: float = 0.0,
+                       top_k: int = 0,
+                       top_p: float = 1.0,
+                       seed: int = 0) -> List[str]:
         """Batched generate: one prefill + one decode loop for the batch.
         ``num_beams > 1`` runs beam search with HF ``generate`` semantics
-        (token-parity tested in tests/test_hf_parity.py)."""
+        (token-parity tested in tests/test_hf_parity.py);
+        ``temperature > 0`` samples (optionally top-k / nucleus filtered)
+        with a key derived from ``seed`` — the config-surface equivalent of
+        the reference's ``model.generate`` kwargs
+        (`/root/reference/models/base_model.py:68-69`)."""
+        from ..core.mesh import maybe_mesh, pad_to_multiple
         n = len(images)
+        images = list(images)
+        # Under a mesh the compiled batch must divide over the data axis:
+        # pad with a repeat of the last image and drop the extras at the end.
+        b = pad_to_multiple(n, self._data_size())
+        if b > n:
+            images = images + [images[-1]] * (b - n)
         batch = host_batch(images, self.recipe)
         pixels = normalize_images(jnp.asarray(batch), recipe=self.recipe,
                                   compute_dtype=self.policy.compute_dtype)
         pre_t, post_t, bos_pre, bos_post = self.format_prompt(prompt)
         pre_ids, post_ids, prompt_len = build_prompt_ids(
-            self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), n,
+            self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), b,
             add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch
+            pixels, pre_ids, post_ids, prompt_len = shard_batch(
+                (pixels, pre_ids, post_ids, prompt_len), self.mesh)
         if num_beams > 1:
+            if temperature > 0:
+                raise ValueError("beam search is deterministic; "
+                                 "temperature>0 with num_beams>1 is not "
+                                 "supported (HF raises the same way)")
             from ..generate.beam import BeamSearchEngine
-            key = ("beam", n, int(prompt_len[0]), max_tokens, num_beams,
+            key = ("beam", b, int(prompt_len[0]), max_tokens, num_beams,
                    str(self.kv_cache_dtype()))
             if key not in self._engines:
                 self._engines[key] = BeamSearchEngine(
-                    self.module, self.cfg, batch_size=n,
+                    self.module, self.cfg, batch_size=b,
                     max_prompt_len=int(prompt_len[0]), num_beams=num_beams,
                     max_new_tokens=max_tokens,
                     cache_dtype=self.kv_cache_dtype(),
                     eos_id=self.tokenizer.eos_id,
                     pad_id=self.tokenizer.pad_id)
-            result = self._engines[key].generate(
-                self.params, pixels, pre_ids, post_ids, prompt_len)
+            with maybe_mesh(self.mesh):
+                result = self._engines[key].generate(
+                    self.params, pixels, pre_ids, post_ids, prompt_len)
         else:
-            engine = self._engine(n, int(prompt_len[0]), max_tokens)
-            result = engine.generate(self.params, pixels, pre_ids, post_ids,
-                                     prompt_len)
+            engine = self._engine(b, int(prompt_len[0]), max_tokens,
+                                  temperature, top_k, top_p)
+            with maybe_mesh(self.mesh):
+                result = engine.generate(
+                    self.params, pixels, pre_ids, post_ids, prompt_len,
+                    rng=jax.random.key(seed) if temperature > 0 else None)
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
         out = []
@@ -200,13 +247,44 @@ class VLMModel:
     def generate_dataset(self, image_paths: Sequence, prompt: str,
                          max_tokens: int = 100,
                          batch_size: Optional[int] = None,
-                         progress=None) -> List[str]:
+                         progress=None,
+                         num_beams: int = 1,
+                         temperature: float = 0.0,
+                         top_k: int = 0,
+                         top_p: float = 1.0,
+                         seed: int = 0) -> List[str]:
         """Dataset-scale generation via continuous batching: slots refill the
         moment a sequence finishes, host image decode interleaves with device
-        decode steps. Returns decoded texts in input order."""
+        decode steps. Returns decoded texts in input order.
+
+        Sampling knobs mirror :meth:`generate_batch`. ``num_beams > 1``
+        falls back to wave-batched beam search (beam hypotheses share a
+        per-wave cache; slot-level admission doesn't apply)."""
+        from ..core.mesh import maybe_mesh, pad_to_multiple
         from ..generate.batcher import ContinuousBatcher
 
-        bs = batch_size or self.batch_size
+        bs = pad_to_multiple(batch_size or self.batch_size,
+                             self._data_size())
+        if num_beams > 1:
+            paths = list(image_paths)
+            out: List[Optional[str]] = [None] * len(paths)
+            try:
+                for start in range(0, len(paths), bs):
+                    chunk = paths[start:start + bs]
+                    images = [Image.open(p).convert("RGB") for p in chunk]
+                    k = len(images)
+                    if k < bs:   # pad so every wave reuses one beam engine
+                        images = images + [images[-1]] * (bs - k)
+                    texts = self.generate_batch(
+                        images, prompt, max_tokens=max_tokens,
+                        num_beams=num_beams)[:k]
+                    out[start:start + k] = texts
+                    if progress is not None:
+                        progress(k)
+            except KeyboardInterrupt:
+                print("\n[generate_dataset] interrupted — returning "
+                      "completed results")
+            return out
         pre_t, post_t, bos_pre, bos_post = self.format_prompt(prompt)
         pre_ids, post_ids, prompt_len = build_prompt_ids(
             self.tokenizer, pre_t, post_t, num_image_tokens(self.cfg), 1,
@@ -223,13 +301,17 @@ class VLMModel:
             self.module, self.cfg, batch_size=bs,
             max_prompt_len=int(prompt_len[0]), max_new_tokens=max_tokens,
             cache_dtype=self.kv_cache_dtype(),
-            eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id)
-        token_lists = batcher.run(
-            self.params, pixel_fn,
-            pre_ids_row=np.asarray(pre_ids[0]),
-            post_ids_row=np.asarray(post_ids[0]),
-            prompt_len_scalar=int(prompt_len[0]),
-            n_images=len(paths), progress=progress)
+            eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            rng=jax.random.key(seed) if temperature > 0 else None,
+            mesh=self.mesh)
+        with maybe_mesh(self.mesh):
+            token_lists = batcher.run(
+                self.params, pixel_fn,
+                pre_ids_row=np.asarray(pre_ids[0]),
+                post_ids_row=np.asarray(post_ids[0]),
+                prompt_len_scalar=int(prompt_len[0]),
+                n_images=len(paths), progress=progress)
         # Entries left None (KeyboardInterrupt) stay None so callers can
         # evaluate partial results like the reference.
         return [self.tokenizer.decode(t).strip() if t is not None else None
@@ -243,7 +325,8 @@ class VLMModel:
         vision_params = {"params": self.params["params"]["vision"]}
         backbone = VisionBackbone(self.cfg, vision_params, self.policy,
                                   attn_impl=self.attn_impl,
-                                  batch_size=self.batch_size)
+                                  batch_size=self.batch_size,
+                                  mesh=self.mesh)
         if cleanup:
             self.params = None
             self.module = None

@@ -75,6 +75,14 @@ def kv_scatter_write(k_cache: jax.Array, v_cache: jax.Array,
     S must be 1 (decode) unless every ``start`` is a multiple of S (the
     batcher only ever calls this with S == 1).
     """
+    if k_new.shape[1] > 1:
+        # S is static under jit, so this is a compile-time gate: the S>1
+        # index_map rounds starts down to multiples of S (st[i]//S) and
+        # would silently misplace rows for misaligned offsets. No current
+        # caller needs S>1; use kv_masked_write for multi-row windows.
+        raise ValueError(
+            f"kv_scatter_write requires S == 1 (got S={k_new.shape[1]}); "
+            f"use kv_masked_write for multi-token windows")
     start = start.astype(jnp.int32)
     k_new = k_new.astype(k_cache.dtype)
     v_new = v_new.astype(v_cache.dtype)

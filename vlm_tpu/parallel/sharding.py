@@ -22,7 +22,7 @@ no MoE) — documented in SURVEY.md §5 "Long-context".
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -62,9 +62,53 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(place, tree)
 
 
+def shard_batch_if_divisible(tree: Any, mesh: Optional[Mesh]) -> Any:
+    """Like :func:`shard_batch`, but per-leaf: leaves whose leading dim does
+    not divide over the data axis (ragged tail batches) are left as-is
+    (replicated by jit), and ``mesh=None`` is a no-op — the tolerant form the
+    trainers use on loader batches."""
+    if mesh is None:
+        return tree
+    d = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % d == 0:
+            spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+    return jax.tree.map(place, tree)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def assert_params_sharded(params: Any, mesh: Mesh) -> None:
+    """Verify placement actually happened: every leaf must live on the mesh's
+    devices, and — when the mesh has a non-trivial model axis — at least one
+    kernel must be split across devices (not merely replicated). Used by the
+    product scripts/tests as a cheap guard against a silently-dead mesh knob."""
+    from ..core.mesh import MODEL_AXIS
+
+    mesh_devices = set(mesh.devices.flat)
+    leaves = jax.tree.leaves(params, is_leaf=lambda x: isinstance(
+        x, nn.Partitioned))
+    n_split = 0
+    for leaf in leaves:
+        arr = leaf.unbox() if isinstance(leaf, nn.Partitioned) else leaf
+        if not hasattr(arr, "sharding"):
+            continue
+        devs = set(arr.sharding.device_set)
+        if not devs.issubset(mesh_devices):
+            raise AssertionError(
+                f"param on devices {devs} outside the mesh {mesh_devices}")
+        if not arr.sharding.is_fully_replicated:
+            n_split += 1
+    if mesh.shape.get(MODEL_AXIS, 1) > 1 and n_split == 0:
+        raise AssertionError(
+            "mesh has a model axis > 1 but no parameter is split across "
+            "devices — shard_params was not applied")
 
 
 def unbox(params: Any) -> Any:

@@ -71,7 +71,8 @@ class MultiTaskTester(BaseTester):
         vlm = VLMModelFactory.create_model(
             self.model_name,
             model_id=self.head_cfg.get("model", {}).get("model_id"),
-            quantization=self.quantization, size=self.model_size)
+            quantization=self.quantization, size=self.model_size,
+            mesh=self.cfg.get("mesh"))
         bb = vlm.get_vision_backbone()
         del vlm
         return bb

@@ -57,6 +57,7 @@ class BaseTrainer:
         self._sched_best = float("inf")
         self._sched_bad_epochs = 0
 
+        self.mesh = None   # build_probe sets it from the cfg's mesh: block
         self.build_probe()
         self.build_data()
         self.build_optimizer()

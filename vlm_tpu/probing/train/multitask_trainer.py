@@ -72,8 +72,10 @@ class MultiTaskTrainer(BaseTrainer):
 
         vlm = VLMModelFactory.create_model(
             mcfg["name"], model_id=mcfg.get("model_id"),
-            quantization=mcfg.get("quantization"), size=mcfg.get("size"))
+            quantization=mcfg.get("quantization"), size=mcfg.get("size"),
+            mesh=self.cfg.get("mesh"))
         backbone = vlm.get_vision_backbone()
+        self.mesh = backbone.mesh
         del vlm
 
         tasks_nclasses = {t: get_num_classes_for_task(t) for t in self.tasks}
@@ -297,15 +299,19 @@ class MultiTaskTrainer(BaseTrainer):
                                   self._rng_counter)
 
     def train_batch(self, batch) -> Dict[str, float]:
+        from ...core.mesh import maybe_mesh
+        from ...parallel.sharding import shard_batch_if_divisible
         images, targets = batch
         ys_np = targets_to_arrays(targets, self.tasks)
         ys = {t: jnp.asarray(v) for t, v in ys_np.items()}
         pixels = self.probe.backbone._to_pixels(images)
+        pixels, ys = shard_batch_if_divisible((pixels, ys), self.mesh)
         task_w = jnp.asarray([self.current_task_weights[t]
                               for t in self.tasks], jnp.float32)
-        params, new_stats, self._opt_state, losses = self._train_step(
-            self._params(), self._head_stats(), self._opt_state, pixels,
-            ys, self._next_rng(), task_w)
+        with maybe_mesh(self.mesh):
+            params, new_stats, self._opt_state, losses = self._train_step(
+                self._params(), self._head_stats(), self._opt_state, pixels,
+                ys, self._next_rng(), task_w)
         self.probe.head_state = {
             t: {"params": params["heads"][t], "batch_stats": new_stats[t]}
             for t in self.tasks}
@@ -315,12 +321,16 @@ class MultiTaskTrainer(BaseTrainer):
         return {t: float(losses[t]) for t in self.tasks}
 
     def eval_batch(self, batch) -> Dict[str, float]:
+        from ...core.mesh import maybe_mesh
+        from ...parallel.sharding import shard_batch_if_divisible
         images, targets = batch
         ys = {t: jnp.asarray(v) for t, v in
               targets_to_arrays(targets, self.tasks).items()}
         pixels = self.probe.backbone._to_pixels(images)
-        losses = self._eval_step(self._params(), self._head_stats(), pixels,
-                                 ys)
+        pixels, ys = shard_batch_if_divisible((pixels, ys), self.mesh)
+        with maybe_mesh(self.mesh):
+            losses = self._eval_step(self._params(), self._head_stats(),
+                                     pixels, ys)
         return {t: float(losses[t]) for t in self.tasks}
 
     # ------------ state ------------

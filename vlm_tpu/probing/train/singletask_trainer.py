@@ -52,8 +52,9 @@ class SingleTaskTrainer(BaseTrainer):
         vlm = VLMModelFactory.create_model(
             mcfg["name"], model_id=mcfg.get("model_id"),
             quantization=mcfg.get("quantization"),
-            size=mcfg.get("size"))
+            size=mcfg.get("size"), mesh=self.cfg.get("mesh"))
         backbone = vlm.get_vision_backbone()
+        self.mesh = backbone.mesh
         del vlm
 
         self.probe = LinearProbe(
@@ -286,40 +287,55 @@ class SingleTaskTrainer(BaseTrainer):
                                   self._rng_counter)
 
     def train_batch(self, batch) -> Dict[str, float]:
+        from ...core.mesh import maybe_mesh
+        from ...parallel.sharding import shard_batch_if_divisible
         if self.use_feature_cache:
             x, y = batch
+            x, y = shard_batch_if_divisible(
+                (jnp.asarray(x), jnp.asarray(y)), self.mesh)
             params = self.probe.head_state["params"]
             bs = self.probe.head_state["batch_stats"]
-            params, bs, self._opt_state, loss = self._train_step(
-                params, bs, self._opt_state, jnp.asarray(x),
-                jnp.asarray(y), self._next_rng())
+            with maybe_mesh(self.mesh):
+                params, bs, self._opt_state, loss = self._train_step(
+                    params, bs, self._opt_state, x, y, self._next_rng())
             self.probe.head_state = {"params": params, "batch_stats": bs}
             return {self.task: float(loss)}
         images, targets = batch
         y = targets_to_arrays(targets, [self.task])[self.task]
         pixels = self.probe.backbone._to_pixels(images)
+        pixels, y = shard_batch_if_divisible(
+            (pixels, jnp.asarray(y)), self.mesh)
         params = self._e2e_params()
         bs = self.probe.head_state["batch_stats"]
-        params, bs, self._opt_state, loss = self._train_step(
-            params, bs, self._opt_state, pixels, jnp.asarray(y),
-            self._next_rng())
+        with maybe_mesh(self.mesh):
+            params, bs, self._opt_state, loss = self._train_step(
+                params, bs, self._opt_state, pixels, y, self._next_rng())
         self.probe.head_state = {"params": params["head"], "batch_stats": bs}
         self.probe.backbone.params = params["backbone"]
         return {self.task: float(loss)}
 
     def eval_batch(self, batch) -> Dict[str, float]:
+        from ...core.mesh import maybe_mesh
+        from ...parallel.sharding import shard_batch_if_divisible
         if self.use_feature_cache:
             x, y = batch
-            loss = self._eval_step(self.probe.head_state["params"],
-                                   self.probe.head_state["batch_stats"],
-                                   jnp.asarray(x), jnp.asarray(y))
+            x, y = shard_batch_if_divisible(
+                (jnp.asarray(x), jnp.asarray(y)), self.mesh)
+            with maybe_mesh(self.mesh):
+                loss = self._eval_step(self.probe.head_state["params"],
+                                       self.probe.head_state["batch_stats"],
+                                       x, y)
             return {self.task: float(loss)}
         images, targets = batch
         y = targets_to_arrays(targets, [self.task])[self.task]
         pixels = self.probe.backbone._to_pixels(images)
+        pixels, y = shard_batch_if_divisible(
+            (pixels, jnp.asarray(y)), self.mesh)
         params = self._e2e_params()
-        loss = self._eval_step(params, self.probe.head_state["batch_stats"],
-                               pixels, jnp.asarray(y))
+        with maybe_mesh(self.mesh):
+            loss = self._eval_step(params,
+                                   self.probe.head_state["batch_stats"],
+                                   pixels, y)
         return {self.task: float(loss)}
 
     # ------------ state handles ------------
