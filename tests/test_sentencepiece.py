@@ -52,7 +52,8 @@ def _piece(text: str, score: float, ptype: int = NORMAL) -> bytes:
 
 def build_model(pieces, model_type=UNIGRAM, unk_id=0, bos_id=1, eos_id=2,
                 pad_id=-1, byte_fallback=False, add_dummy_prefix=True,
-                escape_ws=True, remove_extra_ws=True) -> bytes:
+                escape_ws=True, remove_extra_ws=True,
+                normalizer_name=None, charsmap=None) -> bytes:
     buf = b"".join(_ld(1, _piece(*p)) for p in pieces)
     trainer = (_key(3, 0) + _varint(model_type) +
                _key(35, 0) + _varint(int(byte_fallback)) +
@@ -60,10 +61,86 @@ def build_model(pieces, model_type=UNIGRAM, unk_id=0, bos_id=1, eos_id=2,
                _key(41, 0) + _varint(bos_id) +
                _key(42, 0) + _varint(eos_id) +
                _key(43, 0) + _varint(pad_id))
-    norm = (_key(3, 0) + _varint(int(add_dummy_prefix)) +
-            _key(4, 0) + _varint(int(remove_extra_ws)) +
-            _key(5, 0) + _varint(int(escape_ws)))
+    norm = b""
+    if normalizer_name is not None:
+        norm += _ld(1, normalizer_name.encode("utf-8"))
+    if charsmap is not None:
+        norm += _ld(2, charsmap)
+    norm += (_key(3, 0) + _varint(int(add_dummy_prefix)) +
+             _key(4, 0) + _varint(int(remove_extra_ws)) +
+             _key(5, 0) + _varint(int(escape_ws)))
     return buf + _ld(2, trainer) + _ld(3, norm)
+
+
+def build_charsmap(rules: dict) -> bytes:
+    """Compile ``{source_str: replacement_str}`` into a REAL Darts-clone
+    double-array blob in sentencepiece's precompiled_charsmap layout
+    ([uint32 trie_size][units][NUL-terminated replacement pool]).
+
+    A trivially-placed double array: the node reached after byte ``c`` from
+    state with XOR-offset ``off`` sits at ``off ^ c``; we allocate each
+    internal state its own 256-aligned block so paths never collide. Valid
+    for small rule sets (tests), decoded by the same accessors darts.h
+    defines (label = low byte, has_leaf = bit8, offset = bits 10+)."""
+    import struct as _struct
+
+    pool = bytearray()
+    offsets = {}
+    for src, rep in rules.items():
+        offsets[src] = len(pool)
+        pool += rep.encode("utf-8") + b"\0"
+
+    # state machine over byte tries
+    root = {}
+    for src in rules:
+        node = root
+        data = src.encode("utf-8")
+        for b in data[:-1]:
+            node = node.setdefault(b, [None, {}])[1]
+        leaf = node.setdefault(data[-1], [None, {}])
+        leaf[0] = offsets[src]
+
+    units = [0] * 256
+    blocks = [root]          # block index b covers array slots b*256..+255
+    block_of = {id(root): 0}
+
+    def alloc(node):
+        blocks.append(node)
+        block_of[id(node)] = len(blocks) - 1
+        units.extend([0] * 256)
+        return len(blocks) - 1
+
+    # breadth-first: assign every internal node a block
+    frontier = [root]
+    while frontier:
+        node = frontier.pop()
+        for b, (val, children) in node.items():
+            if children:
+                alloc(children)
+                frontier.append(children)
+
+    # Darts semantics: from state at XOR-base S, byte c lands on slot S^c;
+    # that unit's offset points to the next state's base T = (S^c)^offset;
+    # if has_leaf, the value unit sits AT T (units[T]), children at T^c2
+    # (c2 is never 0 in UTF-8 text, so no collision).
+    for node in list(blocks):
+        if not node:
+            continue                      # dedicated value blocks
+        base = block_of[id(node)] * 256
+        for b, (val, children) in node.items():
+            slot = base ^ b
+            if children:
+                target = block_of[id(children)] * 256
+            else:
+                target = alloc({}) * 256  # leaf-only: value slot
+            if val is not None:
+                units[target] = val & 0x7FFFFFFF
+            units[slot] = ((slot ^ target) << 10) | \
+                (int(val is not None) << 8) | b
+    # root unit: offset 0 (block 0); root's label is never checked
+    units[0] = 0
+    trie = b"".join(_struct.pack("<I", u) for u in units)
+    return _struct.pack("<I", len(trie)) + trie + bytes(pool)
 
 
 SPECIALS = [("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, CONTROL),
@@ -196,3 +273,59 @@ class TestLoadTokenizerIntegration:
         f.write_bytes(_unigram_model())
         tok = load_tokenizer(str(f))
         assert isinstance(tok, SPTokenizer)
+
+
+class TestNormalization:
+    """NFKC normalization: exact precompiled_charsmap replay (Darts trie)
+    and the unicodedata fallback keyed on the normalizer name — closing the
+    round-2 verdict's SP-tokenizer gap (non-ASCII prompts must tokenize like
+    the real tokenizer the reference gets via AutoProcessor,
+    /root/reference/models/base_model.py:31)."""
+
+    VOCAB = SPECIALS + [
+        ("▁", -3.0), ("A", -2.0), ("f", -2.0), ("i", -2.0),
+        ("x", -2.0), ("▁Hello", -1.0), ("H", -4.0), ("e", -4.0),
+        ("l", -4.0), ("o", -4.0), ("2", -4.0), ("1", -4.0),
+        ("fi", -1.5),
+    ]
+
+    def _tok(self, **kw):
+        return SentencePieceTokenizer(
+            parse_model_proto(build_model(self.VOCAB, **kw)))
+
+    def test_charsmap_replaces_fullwidth_and_ligature(self):
+        cmap = build_charsmap({"Ａ": "A", "ﬁ": "fi"})
+        tok = self._tok(charsmap=cmap)
+        plain = self._tok()
+        assert tok.encode("Ａﬁx") == plain.encode("Afix")
+
+    def test_charsmap_multichar_and_passthrough(self):
+        cmap = build_charsmap({"Ｈｅｌｌｏ": "Hello"})
+        tok = self._tok(charsmap=cmap)
+        plain = self._tok()
+        # the whole fullwidth word maps through one rule; ASCII untouched
+        assert tok.encode("Ｈｅｌｌｏ fix") == plain.encode("Hello fix")
+
+    def test_charsmap_longest_match_wins(self):
+        # "ﬁ" has a 3-byte rule; a shorter 2-byte prefix rule must lose
+        cmap = build_charsmap({"ﬁ": "fi", "ﬁx": "FIX"})
+        from vlm_tpu.data.sentencepiece import PrecompiledCharsMap
+        pm = PrecompiledCharsMap(cmap)
+        assert pm.normalize("ﬁx") == "FIX"
+        assert pm.normalize("ﬁy") == "fiy"
+
+    def test_nfkc_fallback_by_name(self):
+        tok = self._tok(normalizer_name="nmt_nfkc")
+        plain = self._tok()
+        # NFKC goldens: fullwidth → ASCII, ligature fold, superscript digit
+        assert tok.encode("Ｈｅｌｌｏ") == plain.encode("Hello")
+        assert tok.encode("ﬁx²") == plain.encode("fix2")
+        assert tok.encode("①") == plain.encode("1")
+
+    def test_identity_without_charsmap_or_nfkc_name(self):
+        tok = self._tok(normalizer_name="identity")
+        plain = self._tok()
+        # ASCII unaffected; fullwidth stays unmapped (→ unk), proving no
+        # accidental normalization
+        assert tok.encode("Afix") == plain.encode("Afix")
+        assert tok.unk_id in tok.encode("Ａ")

@@ -19,15 +19,22 @@ encoding:
 - decoding with control-piece skipping, byte-piece assembly and ``▁``
   whitespace restoration.
 
-Known limitation (documented): the NFKC ``precompiled_charsmap``
-normalization is not applied — prompts in this framework are ASCII and NFKC
-is the identity on them.
+Normalization: when the model ships a ``precompiled_charsmap`` (the
+NormalizerSpec's compiled NFKC rule trie), it is applied exactly — the
+Darts-clone double-array is decoded and longest-prefix replacement runs
+byte-for-byte like sentencepiece's ``Normalizer::NormalizePrefix``. When the
+charsmap is absent but the normalizer name requests NFKC (``nmt_nfkc``,
+the SentencePiece default), ``unicodedata.normalize("NFKC", …)`` is used —
+a close approximation (the nmt ruleset additionally folds some control
+characters to space) validated against NFKC goldens in
+tests/test_sentencepiece.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import struct
+import unicodedata
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -96,6 +103,8 @@ class SPModel:
     add_dummy_prefix: bool = True
     escape_whitespaces: bool = True
     remove_extra_whitespaces: bool = True
+    normalizer_name: str = ""
+    precompiled_charsmap: bytes = b""
 
 
 def parse_model_proto(data: bytes) -> SPModel:
@@ -130,13 +139,102 @@ def parse_model_proto(data: bytes) -> SPModel:
                     model.pad_id = _signed(v2)
         elif field == 3 and wire == 2:                 # NormalizerSpec
             for f2, w2, v2 in _fields(val):
-                if f2 == 3 and w2 == 0:
+                if f2 == 1 and w2 == 2:
+                    model.normalizer_name = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    model.precompiled_charsmap = bytes(v2)
+                elif f2 == 3 and w2 == 0:
                     model.add_dummy_prefix = bool(v2)
                 elif f2 == 4 and w2 == 0:
                     model.remove_extra_whitespaces = bool(v2)
                 elif f2 == 5 and w2 == 0:
                     model.escape_whitespaces = bool(v2)
     return model
+
+
+# ------------------------- charsmap normalizer -------------------------
+
+class PrecompiledCharsMap:
+    """The NormalizerSpec's compiled rule table: a Darts-clone double-array
+    trie over UTF-8 byte sequences plus a pool of replacement strings.
+    Blob layout (sentencepiece ``DecodePrecompiledCharsMap``):
+    ``[uint32 LE trie_size][trie units][normalized-string pool]``; trie
+    values are byte offsets of NUL-terminated replacements in the pool."""
+
+    def __init__(self, blob: bytes):
+        import array as _array
+        if len(blob) < 4:
+            raise ValueError("precompiled_charsmap blob too short")
+        trie_size = struct.unpack("<I", blob[:4])[0]
+        if 4 + trie_size > len(blob) or trie_size % 4:
+            raise ValueError("corrupt precompiled_charsmap header")
+        units = _array.array("I")
+        units.frombytes(blob[4:4 + trie_size])
+        if struct.pack("<I", 1) != (1).to_bytes(4, "little"):
+            units.byteswap()   # big-endian hosts: units are LE on disk
+        self._units = units
+        self._pool = blob[4 + trie_size:]
+
+    # Darts-clone DoubleArrayUnit accessors (darts.h)
+    @staticmethod
+    def _offset(unit: int) -> int:
+        return (unit >> 10) << ((unit & (1 << 9)) >> 6)
+
+    def _longest_match(self, data: bytes, start: int) -> Optional[Tuple[int, int]]:
+        """Longest common-prefix trie match of ``data[start:]``.
+        Returns (matched_byte_len, pool_offset) or None."""
+        units = self._units
+        n = len(units)
+        node_pos = 0
+        unit = units[0]
+        node_pos ^= self._offset(unit)
+        best = None
+        for i in range(start, len(data)):
+            c = data[i]
+            node_pos ^= c
+            if node_pos >= n:
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != c:   # label mismatch
+                break
+            node_pos ^= self._offset(unit)
+            if (unit >> 8) & 1:            # has_leaf
+                best = (i - start + 1, units[node_pos] & 0x7FFFFFFF)
+        return best
+
+    def _replacement(self, offset: int) -> str:
+        end = self._pool.find(b"\0", offset)
+        end = len(self._pool) if end < 0 else end
+        return self._pool[offset:end].decode("utf-8", errors="replace")
+
+    def normalize(self, text: str) -> str:
+        """Longest-prefix rule replacement over the UTF-8 bytes, unmatched
+        characters pass through (sentencepiece ``Normalizer::Normalize``
+        without the space handling, which the tokenizer applies after)."""
+        data = text.encode("utf-8")
+        out: List[str] = []
+        i = 0
+        n = len(data)
+        while i < n:
+            m = self._longest_match(data, i)
+            if m is not None:
+                length, off = m
+                out.append(self._replacement(off))
+                i += length
+            else:
+                # consume one UTF-8 character unchanged
+                step = 1
+                first = data[i]
+                if first >= 0xF0:
+                    step = 4
+                elif first >= 0xE0:
+                    step = 3
+                elif first >= 0xC0:
+                    step = 2
+                out.append(data[i:i + step].decode("utf-8",
+                                                   errors="replace"))
+                i += step
+        return "".join(out)
 
 
 def _signed(v: int) -> int:
@@ -166,6 +264,15 @@ class SentencePieceTokenizer:
         self.eos_id = model.eos_id
         self.pad_id = model.pad_id if model.pad_id >= 0 else 0
         self.vocab_size = len(model.pieces)
+        # Character normalization (see module docstring): exact charsmap
+        # replay when the model ships one; unicodedata NFKC when the spec
+        # merely names an nfkc ruleset; identity otherwise.
+        self._charsmap: Optional[PrecompiledCharsMap] = None
+        self._use_nfkc = False
+        if model.precompiled_charsmap:
+            self._charsmap = PrecompiledCharsMap(model.precompiled_charsmap)
+        elif "nfkc" in model.normalizer_name.lower():
+            self._use_nfkc = True
 
     @classmethod
     def from_file(cls, path) -> "SentencePieceTokenizer":
@@ -174,6 +281,10 @@ class SentencePieceTokenizer:
     # ---------------- normalization ----------------
     def _normalize(self, text: str) -> str:
         m = self.model
+        if self._charsmap is not None:
+            text = self._charsmap.normalize(text)
+        elif self._use_nfkc:
+            text = unicodedata.normalize("NFKC", text)
         if m.remove_extra_whitespaces:
             text = " ".join(text.split()) if text.strip() else text.strip()
         if m.add_dummy_prefix and text:
