@@ -78,7 +78,7 @@ def main():
     # host syncs no longer scale with tokens.
     batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "128"))
     max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "100"))
-    n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "6"))
+    n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "16"))
     run_wave = os.environ.get("VLM_TPU_BENCH_WAVE", "1") != "0"
     profile_dir = os.environ.get("VLM_TPU_PROFILE_DIR", "")
 
@@ -161,11 +161,13 @@ def main():
     batcher.run(model.params, pixel_fn, np.asarray(pre_ids[0]),
                 np.asarray(post_ids[0]), plen_scalar,
                 n_images=batch, max_new_per_image=[4] * batch)
-    # Best of N timed runs (default 2): the shared-tenancy TPU attachment
-    # shows transient multi-x degradation windows; a single sample can
-    # record contention instead of the framework. Identical work per run.
+    # N timed runs (default 2), ALL recorded in the JSON. The shared-tenancy
+    # TPU attachment shows transient multi-x degradation windows, so the
+    # headline is the best rep — but only while the median agrees within
+    # 5%; a best/median gap beyond that means the samples disagree and the
+    # median (robust) becomes the headline. Identical work per run.
     reps = max(1, int(os.environ.get("VLM_TPU_BENCH_REPS", "2")))
-    cont_ips, p50, p99 = 0.0, 0.0, 0.0
+    rep_rows = []
     for rep in range(reps):
         t0 = time.perf_counter()
         with profile_trace(profile_dir,
@@ -181,9 +183,20 @@ def main():
         r99 = 1e3 * lats[min(len(lats) - 1, int(len(lats) * 0.99))]
         log(f"[bench] continuous (B={batch}, rep {rep}): {ips:.2f} img/s, "
             f"latency p50 {r50:.0f} ms / p99 {r99:.0f} ms")
-        if ips > cont_ips:
-            cont_ips, p50, p99 = ips, r50, r99
-    log(f"[bench] continuous (B={batch}): best {cont_ips:.2f} img/s, "
+        rep_rows.append((ips, r50, r99))
+    rep_ips = sorted(r[0] for r in rep_rows)
+    median_ips = float(np.median(rep_ips))
+    best = max(rep_rows, key=lambda r: r[0])
+    if best[0] <= 1.05 * median_ips:
+        cont_ips, p50, p99 = best
+        headline_policy = "best (median within 5%)"
+    else:
+        # disagreeing samples: fall back to the robust middle
+        by_ips = sorted(rep_rows, key=lambda r: r[0])
+        cont_ips, p50, p99 = by_ips[len(by_ips) // 2]
+        headline_policy = "median (best deviated >5%)"
+    log(f"[bench] continuous (B={batch}): headline {cont_ips:.2f} img/s "
+        f"[{headline_policy}], median {median_ips:.2f}, "
         f"latency p50 {p50:.0f} ms / p99 {p99:.0f} ms")
     if profile_dir:
         log(f"[bench] profiler trace written to {profile_dir}")
@@ -233,8 +246,12 @@ def main():
         "vs_baseline": round(cont_ips / seq_ips, 2) if seq_ips > 0 else 0.0,
         "p50_latency_ms": round(p50, 1),
         "p99_latency_ms": round(p99, 1),
+        "reps_img_s": [round(r, 3) for r in rep_ips],
+        "median_img_s": round(median_ips, 3),
+        "headline_policy": headline_policy,
         "wave_img_s": round(wave_ips, 3),
         "sequential_img_s": round(seq_ips, 3),
+        "sequential_n": n_seq,
         "mean_gen_len": round(mean_len, 1),
         "max_tokens": max_tokens,
         "batch": batch,

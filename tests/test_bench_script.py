@@ -32,7 +32,12 @@ def test_bench_emits_one_json_line():
     assert len(lines) == 1, res.stdout
     payload = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline",
-            "p50_latency_ms", "p99_latency_ms"} <= set(payload)
+            "p50_latency_ms", "p99_latency_ms",
+            "reps_img_s", "median_img_s", "headline_policy"} <= set(payload)
     assert payload["value"] > 0
     assert payload["p50_latency_ms"] > 0
     assert payload["unit"] == "images/sec"
+    # reporting hygiene: every rep recorded, median consistent with reps
+    assert len(payload["reps_img_s"]) >= 1
+    assert min(payload["reps_img_s"]) <= payload["median_img_s"] \
+        <= max(payload["reps_img_s"])
