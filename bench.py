@@ -98,8 +98,12 @@ def main():
                                          dtype=np.uint8))
             for _ in range(max(n_images, batch))]
     # Variable-length workload: per-image caps model EOS-early generations
-    # under the reference's max_tokens=100.
-    cap_lo = min(8, max_tokens)
+    # under the reference's max_tokens=100. VLM_TPU_BENCH_CAP_LO=100 pins
+    # every cap to max_tokens (fixed-length workload — comparable to a
+    # random-weight product run where greedy never samples EOS).
+    cap_lo = int(os.environ.get("VLM_TPU_BENCH_CAP_LO", "0")) or \
+        min(8, max_tokens)
+    cap_lo = min(cap_lo, max_tokens)
     caps = rng.integers(cap_lo, max_tokens + 1,
                         size=n_images).astype(np.int32)
     mean_len = float(caps.mean())

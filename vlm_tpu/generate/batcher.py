@@ -249,6 +249,13 @@ class ContinuousBatcher:
             new_state["rng"] = rng
         packed = jnp.concatenate(
             [hist, act.astype(jnp.int32)[:, None], gcnt[:, None]], axis=1)
+        if self.mesh is not None:
+            # The host pulls this array every sync; replicating it makes it
+            # fully addressable under multi-process meshes (one small
+            # all-gather) and is a no-op cost single-process.
+            from jax.sharding import NamedSharding, PartitionSpec
+            packed = jax.lax.with_sharding_constraint(
+                packed, NamedSharding(self.mesh, PartitionSpec()))
         return packed, new_state, cache
 
     # ------------------------- host loop -------------------------
