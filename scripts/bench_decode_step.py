@@ -34,7 +34,10 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,64,128,192")
-    ap.add_argument("--size", default="3b")
+    ap.add_argument("--model", default="paligemma",
+                    help="model family (paligemma|llava|blip2)")
+    ap.add_argument("--size", default=None,
+                    help="model size (default: family's production size)")
     ap.add_argument("--quant", default="bf16")
     ap.add_argument("--lo", type=int, default=10)
     ap.add_argument("--hi", type=int, default=110)
@@ -53,7 +56,7 @@ def main():
 
     log(f"[decode-bench] devices: {jax.devices()}")
     t0 = time.perf_counter()
-    model = VLMModelFactory.create_model("paligemma", quantization=args.quant,
+    model = VLMModelFactory.create_model(args.model, quantization=args.quant,
                                          size=args.size)
     log(f"[decode-bench] model built in {time.perf_counter() - t0:.1f}s")
 

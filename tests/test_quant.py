@@ -146,6 +146,22 @@ class TestDynamicInt8:
         y2 = d.apply(params, jnp.ones((4, 32)))   # decode-like path
         assert y2.shape == (4, 64)
 
+    @pytest.mark.parametrize("mode", ["dequant", "fused"])
+    def test_4bit_prefill_dispatch_numerics_match(self, monkeypatch, mode):
+        # the int4 large-m hybrid (VLM_TPU_INT4_PREFILL) must agree with
+        # the small-m fused path on identical weights
+        from vlm_tpu.models.layers import Dense
+        monkeypatch.setenv("VLM_TPU_INT4_PREFILL", mode)
+        d = Dense(64, quant_bits=4, quant_group=16, dtype=jnp.float32,
+                  param_dtype=jnp.float32, use_bias=False)
+        params = d.init(jax.random.key(0), jnp.zeros((600, 32)))
+        x = jax.random.normal(jax.random.key(1), (600, 32))
+        y_prefill = d.apply(params, x)            # m >= 512: hybrid branch
+        y_rows = d.apply(params, x[:8])           # m < 512: fused branch
+        assert y_prefill.shape == (600, 64)
+        np.testing.assert_allclose(np.asarray(y_prefill[:8]),
+                                   np.asarray(y_rows), rtol=2e-2, atol=2e-2)
+
 
 class TestInt4Pallas:
     def test_int4_pallas_matches_dequant(self):

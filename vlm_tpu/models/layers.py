@@ -10,6 +10,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _int4_prefill_mode() -> str:
+    """int4 large-m dispatch: "dequant" (default — XLA-fused one-pass
+    dequant feeding a bf16 matmul) or "fused" (the grouped Pallas kernel
+    everywhere). Read at trace time; measured on v5e in round 3."""
+    import os
+    return os.environ.get("VLM_TPU_INT4_PREFILL", "dequant").lower()
+
+
 def activation(name: str) -> Callable[[jax.Array], jax.Array]:
     if name == "gelu":
         return lambda x: jax.nn.gelu(x, approximate=False)
@@ -137,6 +145,17 @@ class Dense(nn.Module):
                 from ..ops.quant import quant_matmul_outlier
                 y = quant_matmul_outlier(x2, qw, n_outliers=self.int8_outliers,
                                          out_dtype=self.dtype)
+            elif self.quant_bits == 4 and x2.shape[0] >= 512 and \
+                    _int4_prefill_mode() == "dequant":
+                # int4 prefill hybrid: the fused kernel re-dequantizes the
+                # weight tile for every m-block of the grid, so at prefill
+                # (m in the thousands) the grouped unpack+scale work scales
+                # with m/block_m × weight bytes. Letting XLA fuse a single
+                # dequant into the bf16 matmul operand stream pays the
+                # unpack once. (VLM_TPU_INT4_PREFILL=fused restores the
+                # round-2 single-path kernel for comparison.)
+                y = quant_matmul(x2, qw, out_dtype=self.dtype,
+                                 use_pallas=False)
             else:
                 # Bandwidth-bound regime (decode) and int4: in-VMEM dequant
                 # to bf16 feeding the MXU.
