@@ -152,9 +152,24 @@ class VisionBackbone:
                           unit="batch")
             except ImportError:
                 pass
-        for arr, n in it:
-            feats = self.forward(arr)
+        # Dispatches are async: keep a few batches in flight so the host
+        # feature pull (D2H) of batch i-k overlaps the device compute of
+        # batch i, instead of a sync per batch serializing transfer with
+        # compute (remote-attached chips pay ~40 ms per blocking pull).
+        # Results are [bs, D] — a handful in flight costs ~nothing in HBM.
+        from collections import deque
+        pending: deque = deque()
+
+        def drain_one():
+            feats, n = pending.popleft()
             out.append(np.asarray(feats[:n], dtype=np.float32))
+
+        for arr, n in it:
+            pending.append((self.forward(arr), n))
+            if len(pending) > 3:
+                drain_one()
+        while pending:
+            drain_one()
         return np.concatenate(out, axis=0)
 
     # ------------------------- freeze / unfreeze -------------------------

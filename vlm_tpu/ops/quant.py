@@ -367,12 +367,17 @@ def quant_matmul(x: jax.Array, qw: QuantizedWeight, *,
     """
     out_dtype = out_dtype or x.dtype
     if use_pallas is None:
+        import os
+
         # The kernels keep [block_m, K]-shaped x tiles plus a [K, block_n]
         # weight tile in VMEM; shrink tiles for wide contractions so both
-        # fit the ~16 MB budget.
+        # fit the ~16 MB budget. VLM_TPU_QUANT_XLA=1 forces the XLA-fused
+        # dequant matmul everywhere (A/B knob for kernel-vs-fusion
+        # measurements).
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and x.ndim == 2
-                      and x.shape[1] <= 16384)
+                      and x.shape[1] <= 16384
+                      and os.environ.get("VLM_TPU_QUANT_XLA", "0") != "1")
     wide = x.shape[1] > 8192
     if use_pallas and qw.group_size == 0:
         return _int8_matmul_pallas(
