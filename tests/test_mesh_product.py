@@ -114,6 +114,23 @@ class TestMeshedModel:
                                       batch_size=4)
         assert r_s == r_m
 
+    def test_batcher_mesh_with_int8_kv(self, models, tmp_path,
+                                       monkeypatch):
+        # the sharded slot-state path must also carry QuantizedKV layers
+        # (int8 cache): tree-mapped batch sharding + scatter admission
+        single, meshed = models
+        monkeypatch.setenv("VLM_TPU_KV_CACHE", "int8")
+        paths = []
+        for i, im in enumerate(_images(5, seed=7)):
+            p = tmp_path / f"k{i}.png"
+            im.save(p)
+            paths.append(str(p))
+        r_s = single.generate_dataset(paths, "describe", max_tokens=5,
+                                      batch_size=4)
+        r_m = meshed.generate_dataset(paths, "describe", max_tokens=5,
+                                      batch_size=4)
+        assert r_s == r_m
+
     def test_backbone_inherits_mesh(self, models):
         single, meshed = models
         imgs = _images(4, seed=2)

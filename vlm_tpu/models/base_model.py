@@ -312,6 +312,10 @@ class VLMModel:
                 post_ids_row=np.asarray(post_ids[0]),
                 prompt_len_scalar=int(prompt_len[0]),
                 n_images=len(paths), progress=progress)
+        import os
+        import sys as _sys
+        if os.environ.get("VLM_TPU_BATCHER_STATS", "0") == "1":
+            print(f"[batcher stats] {batcher.last_stats}", file=_sys.stderr)
         # Entries left None (KeyboardInterrupt) stay None so callers can
         # evaluate partial results like the reference.
         return [self.tokenizer.decode(t).strip() if t is not None else None
