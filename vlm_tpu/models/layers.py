@@ -10,6 +10,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _int8_prefill_mode() -> str:
+    """int8 large-m dispatch: "dynamic" (default — llm.int8 activation
+    quantization + outlier decomposition on the int8 MXU) or "dequant"
+    (one-pass XLA dequant feeding a bf16 matmul). Read at trace time."""
+    import os
+    return os.environ.get("VLM_TPU_INT8_PREFILL", "dynamic").lower()
+
+
 def _int4_prefill_mode() -> str:
     """int4 large-m dispatch: "dequant" (default — XLA-fused one-pass
     dequant feeding a bf16 matmul) or "fused" (the grouped Pallas kernel
@@ -131,7 +139,17 @@ class Dense(nn.Module):
                                  scale=jax.lax.stop_gradient(scale),
                                  group_size=gs)
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
-            if self.quant_bits == 8 and x2.shape[0] >= 512:
+            if self.quant_bits == 8 and x2.shape[0] >= 512 and \
+                    _int8_prefill_mode() == "dequant":
+                # int8 prefill via one-pass XLA dequant → bf16 MXU matmul:
+                # prefill runs at bf16 speed (the dynamic int8×int8 path's
+                # activation-quant + outlier overhead measured slower
+                # end-to-end at 3B), while decode below still streams int8
+                # weights. VLM_TPU_INT8_PREFILL=dynamic restores llm.int8
+                # activation quantization for the compute-bound regime.
+                y = quant_matmul(x2, qw, out_dtype=self.dtype,
+                                 use_pallas=False)
+            elif self.quant_bits == 8 and x2.shape[0] >= 512:
                 # Compute-bound regime (prefill, m = group×seq_len in the
                 # thousands): llm.int8-style dynamic activation quantization
                 # → int8×int8 MXU (2x bf16 peak), with outlier decomposition
