@@ -374,9 +374,17 @@ def quant_matmul(x: jax.Array, qw: QuantizedWeight, *,
         # fit the ~16 MB budget. VLM_TPU_QUANT_XLA=1 forces the XLA-fused
         # dequant matmul everywhere (A/B knob for kernel-vs-fusion
         # measurements).
+        #
+        # int8 at decode sizes (m < 512) defaults to the XLA path: the
+        # int8→bf16 cast fuses into the matmul's operand stream and beat
+        # the in-VMEM dequant kernel by 1.6-1.7x on v5e (7B B=12: 15.6 vs
+        # 25.0 ms/step; 3B B=32: 4.46 ms vs 7.6 ms even for bf16 weights).
+        # int4 keeps the fused kernel at decode — XLA cannot fuse the
+        # nibble unpack and collapses (33.8 → 11.7 img/s end-to-end).
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and x.ndim == 2
                       and x.shape[1] <= 16384
+                      and (qw.group_size > 0 or x.shape[0] >= 512)
                       and os.environ.get("VLM_TPU_QUANT_XLA", "0") != "1")
     wide = x.shape[1] > 8192
     if use_pallas and qw.group_size == 0:
