@@ -11,11 +11,17 @@ import jax.numpy as jnp
 
 
 def _int8_prefill_mode() -> str:
-    """int8 large-m dispatch: "dynamic" (default — llm.int8 activation
-    quantization + outlier decomposition on the int8 MXU) or "dequant"
-    (one-pass XLA dequant feeding a bf16 matmul). Read at trace time."""
+    """int8 large-m dispatch: "dequant" (default — one-pass XLA dequant
+    feeding a bf16 matmul) or "dynamic" (llm.int8 activation quantization +
+    outlier decomposition on the int8 MXU). Read at trace time.
+
+    Measured end-to-end on v5e (3B-8bit, N=256, B=128, variable caps):
+    dequant prefill + XLA-dequant decode 48.2 img/s vs 41.4 for the dynamic
+    path — the activation-quant + outlier overhead exceeds the int8 MXU's
+    2x peak at these shapes, so prefill runs at bf16 speed on dequantized
+    weights while decode still streams int8."""
     import os
-    return os.environ.get("VLM_TPU_INT8_PREFILL", "dynamic").lower()
+    return os.environ.get("VLM_TPU_INT8_PREFILL", "dequant").lower()
 
 
 def _int4_prefill_mode() -> str:
@@ -149,6 +155,16 @@ class Dense(nn.Module):
                 # activation quantization for the compute-bound regime.
                 y = quant_matmul(x2, qw, out_dtype=self.dtype,
                                  use_pallas=False)
+            elif self.quant_bits == 8 and x2.shape[0] >= 512 and \
+                    _int8_prefill_mode() == "dynamic_noout":
+                # Pure int8×int8 MXU prefill without outlier decomposition:
+                # isolates the MXU's 2x int8 peak from the outlier path's
+                # top_k + gather + extra bf16 matmul + full-activation mask
+                # pass (A/B knob for the compute-bound regime; accuracy
+                # impact of skipping outliers is the reason "dynamic" keeps
+                # decomposition).
+                from ..ops.quant import quant_matmul_dynamic
+                y = quant_matmul_dynamic(x2, qw, out_dtype=self.dtype)
             elif self.quant_bits == 8 and x2.shape[0] >= 512:
                 # Compute-bound regime (prefill, m = group×seq_len in the
                 # thousands): llm.int8-style dynamic activation quantization
