@@ -73,6 +73,27 @@ class TestQuantMatmul:
         assert out.shape == (13, 100)
         assert float(jnp.abs(out - ref).max()) < 1e-3
 
+    def test_pick_block_n_prefers_dividing_tiles(self):
+        # 11008 (7B MLP) is not a multiple of 512 but is of 256: a dividing
+        # tile avoids materializing a padded copy of the whole weight.
+        assert quant._pick_block_n(11008, 512) == 256
+        assert quant._pick_block_n(11264, 512) == 512
+        assert quant._pick_block_n(2048, 512) == 512
+        # 1408 = 128*11: only 128 divides; still lane-aligned.
+        assert quant._pick_block_n(1408, 512) == 128
+        # no lane-aligned divisor ≤ cap → fall back to cap (padding path)
+        assert quant._pick_block_n(100, 512) == 100
+        assert quant._pick_block_n(8128 + 64, 512) == 512
+
+    def test_pallas_dividing_tile_shapes_match_reference(self):
+        # n divisible by 128 but not by the 512 cap → dividing-tile path
+        x = _w((16, 64), seed=18)
+        qw = quant.quantize_int8(_w((64, 1408), seed=19))
+        ref = x @ quant.dequantize(qw)
+        out = quant.quant_matmul(x, qw, use_pallas=True)
+        assert out.shape == (16, 1408)
+        assert float(jnp.abs(out - ref).max()) < 1e-3
+
 
 class TestQuantizedModels:
     @pytest.mark.parametrize("mode", ["8bit", "4bit"])
@@ -145,6 +166,23 @@ class TestDynamicInt8:
         assert y.shape == (256, 64)
         y2 = d.apply(params, jnp.ones((4, 32)))   # decode-like path
         assert y2.shape == (4, 64)
+
+    @pytest.mark.parametrize("mode", ["dequant", "dynamic", "dynamic_noout"])
+    def test_8bit_prefill_dispatch_numerics_match(self, monkeypatch, mode):
+        # every VLM_TPU_INT8_PREFILL mode must agree with the small-m
+        # weight-only path on identical weights (int8 activation quant in
+        # the dynamic modes adds ~1/127-scale rounding)
+        from vlm_tpu.models.layers import Dense
+        monkeypatch.setenv("VLM_TPU_INT8_PREFILL", mode)
+        d = Dense(64, quant_bits=8, dtype=jnp.float32,
+                  param_dtype=jnp.float32, use_bias=False)
+        params = d.init(jax.random.key(0), jnp.zeros((600, 32)))
+        x = jax.random.normal(jax.random.key(1), (600, 32))
+        y_prefill = d.apply(params, x)            # m >= 512: mode branch
+        y_rows = d.apply(params, x[:8])           # m < 512: weight-only
+        assert y_prefill.shape == (600, 64)
+        np.testing.assert_allclose(np.asarray(y_prefill[:8]),
+                                   np.asarray(y_rows), rtol=3e-2, atol=3e-2)
 
     @pytest.mark.parametrize("mode", ["dequant", "fused"])
     def test_4bit_prefill_dispatch_numerics_match(self, monkeypatch, mode):
