@@ -195,9 +195,10 @@ def main():
         cont_ips, p50, p99 = best
         headline_policy = "best (median within 5%)"
     else:
-        # disagreeing samples: fall back to the robust middle
+        # disagreeing samples: fall back to the robust middle. Lower middle
+        # for even n — upper middle IS the outlier when n=2 (the default).
         by_ips = sorted(rep_rows, key=lambda r: r[0])
-        cont_ips, p50, p99 = by_ips[len(by_ips) // 2]
+        cont_ips, p50, p99 = by_ips[(len(by_ips) - 1) // 2]
         headline_policy = "median (best deviated >5%)"
     log(f"[bench] continuous (B={batch}): headline {cont_ips:.2f} img/s "
         f"[{headline_policy}], median {median_ips:.2f}, "

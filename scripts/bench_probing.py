@@ -87,14 +87,12 @@ def main():
         paths = sorted(Path(args.dataset_dir).glob("**/*.jpg"))
         assert paths, f"no .jpg under {args.dataset_dir}"
     else:
-        from PIL import Image
-        rng = np.random.default_rng(0)
+        from vlm_tpu.testing.synthetic import write_image
         td = Path(tempfile.mkdtemp(prefix="probe_bench_"))
         paths = []
         for i in range(512):
             p = td / f"img_{i:04d}.jpg"
-            Image.fromarray(rng.integers(0, 255, (128, 96, 3),
-                                         dtype=np.uint8)).save(p)
+            write_image(p, seed=i, size=(128, 96))
             paths.append(p)
     all_paths = [paths[i % len(paths)] for i in range(args.n)]
 
@@ -140,7 +138,7 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), stats, opt_state, loss
 
-    hb = args.head_batch
+    hb = min(args.head_batch, feats.shape[0])
     xd = jnp.asarray(feats)
     yd = jnp.asarray(y)
     params, stats = hstate["params"], hstate["batch_stats"]

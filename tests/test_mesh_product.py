@@ -57,6 +57,15 @@ class TestMeshFromConfig:
         m = mesh_from_config({})
         assert m.shape["data"] == 8 and m.shape["model"] == 1
 
+    def test_zero_axes_raise(self):
+        # data=0 would build a 0-device mesh that only fails much later
+        # (pad_to_multiple ZeroDivisionError); model=0 must not be silently
+        # coerced to 1.
+        with pytest.raises(ValueError, match="mesh.data"):
+            mesh_from_config({"data": 0})
+        with pytest.raises(ValueError, match="mesh.model"):
+            mesh_from_config({"model": 0})
+
 
 @pytest.fixture(scope="module")
 def models():

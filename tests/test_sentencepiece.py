@@ -322,6 +322,16 @@ class TestNormalization:
         assert tok.encode("ﬁx²") == plain.encode("fix2")
         assert tok.encode("①") == plain.encode("1")
 
+    def test_nfkc_cf_fallback_casefolds(self):
+        # "nmt_nfkc_cf"/"nfkc_cf" rulesets case-fold after NFKC (used by
+        # uncased models); plain "nfkc" must NOT fold case.
+        tok = self._tok(normalizer_name="nmt_nfkc_cf")
+        plain = self._tok()
+        assert tok.encode("Hello") == plain.encode("hello")
+        assert tok.encode("Ｈｅｌｌｏ") == plain.encode("hello")
+        nocf = self._tok(normalizer_name="nmt_nfkc")
+        assert nocf.encode("Hello") == plain.encode("Hello")
+
     def test_identity_without_charsmap_or_nfkc_name(self):
         tok = self._tok(normalizer_name="identity")
         plain = self._tok()

@@ -86,12 +86,15 @@ def mesh_from_config(spec) -> Optional[Mesh]:
     if not isinstance(spec, dict):
         raise TypeError(f"mesh config must be a dict or Mesh, got {spec!r}")
     data = int(spec.get("data", -1) if spec.get("data") is not None else -1)
-    model = int(spec.get("model", 1) or 1)
+    model = int(spec.get("model") if spec.get("model") is not None else 1)
     n = len(jax.devices())
     if model < 1:
         raise ValueError(f"mesh.model must be >= 1, got {model}")
     if data == -1:
         data = max(1, n // model)
+    if data < 1:
+        raise ValueError(f"mesh.data must be >= 1 (or -1 for all "
+                         f"remaining devices), got {data}")
     if data * model > n:
         raise ValueError(
             f"mesh {data}x{model} needs {data * model} devices, "

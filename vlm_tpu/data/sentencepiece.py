@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
+import sys
 import unicodedata
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -170,7 +171,7 @@ class PrecompiledCharsMap:
             raise ValueError("corrupt precompiled_charsmap header")
         units = _array.array("I")
         units.frombytes(blob[4:4 + trie_size])
-        if struct.pack("<I", 1) != (1).to_bytes(4, "little"):
+        if sys.byteorder != "little":
             units.byteswap()   # big-endian hosts: units are LE on disk
         self._units = units
         self._pool = blob[4 + trie_size:]
@@ -269,10 +270,13 @@ class SentencePieceTokenizer:
         # merely names an nfkc ruleset; identity otherwise.
         self._charsmap: Optional[PrecompiledCharsMap] = None
         self._use_nfkc = False
+        self._use_casefold = False
         if model.precompiled_charsmap:
             self._charsmap = PrecompiledCharsMap(model.precompiled_charsmap)
         elif "nfkc" in model.normalizer_name.lower():
             self._use_nfkc = True
+            # "nfkc_cf"/"nmt_nfkc_cf" rulesets case-fold after NFKC.
+            self._use_casefold = "_cf" in model.normalizer_name.lower()
 
     @classmethod
     def from_file(cls, path) -> "SentencePieceTokenizer":
@@ -285,6 +289,8 @@ class SentencePieceTokenizer:
             text = self._charsmap.normalize(text)
         elif self._use_nfkc:
             text = unicodedata.normalize("NFKC", text)
+            if self._use_casefold:
+                text = text.casefold()
         if m.remove_extra_whitespaces:
             text = " ".join(text.split()) if text.strip() else text.strip()
         if m.add_dummy_prefix and text:

@@ -277,7 +277,8 @@ class VLMModel:
                         images = images + [images[-1]] * (bs - k)
                     texts = self.generate_batch(
                         images, prompt, max_tokens=max_tokens,
-                        num_beams=num_beams)[:k]
+                        num_beams=num_beams, temperature=temperature,
+                        top_k=top_k, top_p=top_p, seed=seed)[:k]
                     out[start:start + k] = texts
                     if progress is not None:
                         progress(k)

@@ -21,7 +21,12 @@ def _int8_prefill_mode() -> str:
     2x peak at these shapes, so prefill runs at bf16 speed on dequantized
     weights while decode still streams int8."""
     import os
-    return os.environ.get("VLM_TPU_INT8_PREFILL", "dequant").lower()
+    mode = os.environ.get("VLM_TPU_INT8_PREFILL", "dequant").lower()
+    if mode not in ("dequant", "dynamic", "dynamic_noout"):
+        raise ValueError(
+            f"VLM_TPU_INT8_PREFILL={mode!r}: expected "
+            "dequant|dynamic|dynamic_noout")
+    return mode
 
 
 def _int4_prefill_mode() -> str:
@@ -29,7 +34,11 @@ def _int4_prefill_mode() -> str:
     dequant feeding a bf16 matmul) or "fused" (the grouped Pallas kernel
     everywhere). Read at trace time; measured on v5e in round 3."""
     import os
-    return os.environ.get("VLM_TPU_INT4_PREFILL", "dequant").lower()
+    mode = os.environ.get("VLM_TPU_INT4_PREFILL", "dequant").lower()
+    if mode not in ("dequant", "fused"):
+        raise ValueError(
+            f"VLM_TPU_INT4_PREFILL={mode!r}: expected dequant|fused")
+    return mode
 
 
 def activation(name: str) -> Callable[[jax.Array], jax.Array]:
