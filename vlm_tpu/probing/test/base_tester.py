@@ -28,6 +28,27 @@ class BaseTester:
         self.base_path = dcfg.get("base_path", None)
         self.batch_size = int(dcfg.get("batch_size", 128))
 
+    def _apply_lora(self, probe, model_blob: dict, lora_cfg):
+        """Merge trained LoRA adapters (if the run used them) into the
+        backbone params once — inference then runs at base-model speed."""
+        import jax
+        from flax import serialization
+
+        from ..lora import init_lora, lora_spec, merge_lora
+        spec = lora_spec(lora_cfg)
+        if not spec:
+            return
+        targets = probe.backbone.get_lora_target_names(
+            {"last_k": spec["last_k"], "attn_only": spec["attn_only"]})
+        lora = init_lora(probe.backbone.params, targets, spec["rank"],
+                         jax.random.key(0))
+        if "lora" not in model_blob:
+            raise KeyError("head_config declares LoRA but the checkpoint "
+                           "blob has no 'lora' entry")
+        lora = serialization.from_state_dict(lora, model_blob["lora"])
+        probe.backbone.params = merge_lora(probe.backbone.params, lora,
+                                           spec["alpha"])
+
     # --- subclass API ---
     def load_backbone(self):
         raise NotImplementedError

@@ -96,6 +96,8 @@ class MultiTaskTester(BaseTester):
         if "backbone" in model:
             probe.backbone.params = serialization.from_state_dict(
                 probe.backbone.params, model["backbone"])
+        self._apply_lora(probe, model,
+                         (self.head_cfg.get("model") or {}).get("lora"))
         return probe
 
     def iter_tasks(self) -> List[str]:

@@ -99,6 +99,8 @@ class SingleTaskTester(BaseTester):
             if "backbone" in model:
                 probe.backbone.params = serialization.from_state_dict(
                     probe.backbone.params, model["backbone"])
+            self._apply_lora(probe, model,
+                             (self.head_cfg.get("model") or {}).get("lora"))
         else:
             raise FileNotFoundError(
                 f"No checkpoint found in {self.ckpt_from} "

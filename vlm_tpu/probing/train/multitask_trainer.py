@@ -95,6 +95,25 @@ class MultiTaskTrainer(BaseTrainer):
                 include_embeddings=bool(bb_cfg.get("include_embeddings",
                                                    True)))
 
+        # LoRA adapters (same surface as SingleTaskTrainer; see lora.py).
+        from ..lora import init_lora, lora_spec
+        self.lora_spec = lora_spec(mcfg.get("lora"))
+        self.lora_params = None
+        if self.lora_spec:
+            targets = backbone.get_lora_target_names(
+                {"last_k": self.lora_spec["last_k"],
+                 "attn_only": self.lora_spec["attn_only"]})
+            if not targets:
+                raise ValueError(
+                    "lora.enabled but no LoRA targets found (quantized "
+                    "towers are not LoRA-trainable)")
+            self.lora_params = init_lora(
+                backbone.params, targets, self.lora_spec["rank"],
+                jax.random.fold_in(jax.random.key(self.seed), 7))
+            print(f"[Trainer] LoRA enabled: rank {self.lora_spec['rank']}, "
+                  f"alpha {self.lora_spec['alpha']}, "
+                  f"{len(targets)} target layers")
+
     # ------------ data ------------
     def build_data(self):
         dcfg = self.cfg["data"]
@@ -164,6 +183,8 @@ class MultiTaskTrainer(BaseTrainer):
              "backbone": self.probe.backbone.params}
         if self.use_uw:
             p["log_vars"] = self._log_vars
+        if self.lora_spec:
+            p["lora"] = self.lora_params
         return p
 
     def _build_tx_and_steps(self):
@@ -179,13 +200,18 @@ class MultiTaskTrainer(BaseTrainer):
         }
         if self.use_uw:
             labels["log_vars"] = {t: "head" for t in self.tasks}
-        self.tx = optax.multi_transform(
-            {"head": optax.adamw(self.head_lr * self.lr_scale,
-                                 weight_decay=self.weight_decay),
-             "backbone": optax.adamw(self.backbone_lr * self.lr_scale,
-                                     weight_decay=self.weight_decay),
-             "frozen": optax.set_to_zero()},
-            labels)
+        txs = {"head": optax.adamw(self.head_lr * self.lr_scale,
+                                   weight_decay=self.weight_decay),
+               "backbone": optax.adamw(self.backbone_lr * self.lr_scale,
+                                       weight_decay=self.weight_decay),
+               "frozen": optax.set_to_zero()}
+        if self.lora_spec:
+            lora_lr = float(self.lora_spec.get("lr") or self.head_lr)
+            labels["lora"] = jax.tree.map(lambda _: "lora",
+                                          self.lora_params)
+            txs["lora"] = optax.adamw(lora_lr * self.lr_scale,
+                                      weight_decay=self.weight_decay)
+        self.tx = optax.multi_transform(txs, labels)
         self._opt_state = self.tx.init(self._params())
         self._make_steps()
 
@@ -200,10 +226,17 @@ class MultiTaskTrainer(BaseTrainer):
         tx = self.tx
         ce_weights = self.ce_weights
         pooling = probe.backbone.cfg.backbone_pooling
+        alpha = self.lora_spec.get("alpha") if self.lora_spec else None
+
+        def backbone_feats(params, pixels):
+            bp = params["backbone"]
+            if alpha is not None:
+                from ..lora import merge_lora
+                bp = merge_lora(bp, params["lora"], alpha)
+            return probe.backbone._features(bp, pixels, pooling)
 
         def losses_fn(params, stats, pixels, ys, rng):
-            feats = probe.backbone._features(params["backbone"], pixels,
-                                             pooling)
+            feats = backbone_feats(params, pixels)
             losses = {}
             new_stats = {}
             for i, t in enumerate(tasks):
@@ -242,8 +275,7 @@ class MultiTaskTrainer(BaseTrainer):
 
         @jax.jit
         def eval_step(params, stats, pixels, ys):
-            feats = probe.backbone._features(params["backbone"], pixels,
-                                             pooling)
+            feats = backbone_feats(params, pixels)
             losses = {}
             for t in tasks:
                 logits = probe.classifiers[t].apply(
@@ -318,6 +350,8 @@ class MultiTaskTrainer(BaseTrainer):
         self.probe.backbone.params = params["backbone"]
         if self.use_uw:
             self._log_vars = params["log_vars"]
+        if self.lora_spec:
+            self.lora_params = params["lora"]
         return {t: float(losses[t]) for t in self.tasks}
 
     def eval_batch(self, batch) -> Dict[str, float]:
@@ -335,9 +369,12 @@ class MultiTaskTrainer(BaseTrainer):
 
     # ------------ state ------------
     def model_state(self) -> dict:
-        return {"heads": jax.tree.map(np.asarray, self.probe.head_state),
-                "backbone": jax.tree.map(np.asarray,
-                                         self.probe.backbone.params)}
+        state = {"heads": jax.tree.map(np.asarray, self.probe.head_state),
+                 "backbone": jax.tree.map(np.asarray,
+                                          self.probe.backbone.params)}
+        if self.lora_spec:
+            state["lora"] = jax.tree.map(np.asarray, self.lora_params)
+        return state
 
     def load_model_state(self, blob: dict):
         from flax import serialization
@@ -348,6 +385,9 @@ class MultiTaskTrainer(BaseTrainer):
         if "backbone" in model:
             self.probe.backbone.params = serialization.from_state_dict(
                 self.probe.backbone.params, model["backbone"])
+        if "lora" in model and self.lora_spec:
+            self.lora_params = serialization.from_state_dict(
+                self.lora_params, model["lora"])
 
     def extra_state_dicts(self) -> dict:
         blob = {}

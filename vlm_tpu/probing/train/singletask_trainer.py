@@ -73,6 +73,27 @@ class SingleTaskTrainer(BaseTrainer):
                 include_embeddings=bool(bb_cfg.get("include_embeddings",
                                                    True)))
 
+        # LoRA mode: frozen base + low-rank adapters on the last-k blocks
+        # (the training loop the reference's get_lora_target_names surface
+        # implies but never implements — see vlm_tpu/probing/lora.py).
+        from ..lora import init_lora, lora_spec
+        self.lora_spec = lora_spec(mcfg.get("lora"))
+        self.lora_params = None
+        if self.lora_spec:
+            targets = backbone.get_lora_target_names(
+                {"last_k": self.lora_spec["last_k"],
+                 "attn_only": self.lora_spec["attn_only"]})
+            if not targets:
+                raise ValueError(
+                    "lora.enabled but no LoRA targets found (quantized "
+                    "towers are not LoRA-trainable)")
+            self.lora_params = init_lora(
+                backbone.params, targets, self.lora_spec["rank"],
+                jax.random.fold_in(jax.random.key(self.seed), 7))
+            print(f"[Trainer] LoRA enabled: rank {self.lora_spec['rank']}, "
+                  f"alpha {self.lora_spec['alpha']}, "
+                  f"{len(targets)} target layers")
+
     # ------------ data ------------
     def build_data(self):
         dcfg = self.cfg["data"]
@@ -99,7 +120,9 @@ class SingleTaskTrainer(BaseTrainer):
         print(f"Class weights: {np.asarray(w)}")
 
         fully_frozen = self.probe.fully_frozen
-        self.use_feature_cache = fully_frozen
+        # LoRA changes the features during training, so the frozen-backbone
+        # feature cache cannot apply even though the base params are frozen.
+        self.use_feature_cache = fully_frozen and not self.lora_spec
         print(f"[Trainer] Feature cache for probing: "
               f"{'ENABLED' if self.use_feature_cache else 'DISABLED'} "
               f"(backbone fully frozen: {fully_frozen})")
@@ -193,19 +216,27 @@ class SingleTaskTrainer(BaseTrainer):
                     lambda m: "backbone" if m else "frozen",
                     self.probe.backbone.trainable_mask),
             }
-            self.tx = optax.multi_transform(
-                {"head": optax.adamw(self.head_lr * self.lr_scale,
-                                     weight_decay=self.weight_decay),
-                 "backbone": optax.adamw(self.backbone_lr * self.lr_scale,
-                                         weight_decay=self.weight_decay),
-                 "frozen": optax.set_to_zero()},
-                labels)
+            txs = {"head": optax.adamw(self.head_lr * self.lr_scale,
+                                       weight_decay=self.weight_decay),
+                   "backbone": optax.adamw(self.backbone_lr * self.lr_scale,
+                                           weight_decay=self.weight_decay),
+                   "frozen": optax.set_to_zero()}
+            if self.lora_spec:
+                lora_lr = float(self.lora_spec.get("lr") or self.head_lr)
+                labels["lora"] = jax.tree.map(lambda _: "lora",
+                                              self.lora_params)
+                txs["lora"] = optax.adamw(lora_lr * self.lr_scale,
+                                          weight_decay=self.weight_decay)
+            self.tx = optax.multi_transform(txs, labels)
             self._opt_state = self.tx.init(self._e2e_params())
             self._make_e2e_steps()
 
     def _e2e_params(self):
-        return {"head": self.probe.head_state["params"],
-                "backbone": self.probe.backbone.params}
+        p = {"head": self.probe.head_state["params"],
+             "backbone": self.probe.backbone.params}
+        if self.lora_spec:
+            p["lora"] = self.lora_params
+        return p
 
     def on_lr_change(self):
         # AdamW state is LR-independent; rebuild the transformation with the
@@ -250,10 +281,17 @@ class SingleTaskTrainer(BaseTrainer):
         cw = self.class_weights
         tx = self.tx
         pooling = probe.backbone.cfg.backbone_pooling
+        alpha = self.lora_spec.get("alpha") if self.lora_spec else None
+
+        def backbone_feats(params, pixels):
+            bp = params["backbone"]
+            if alpha is not None:
+                from ..lora import merge_lora
+                bp = merge_lora(bp, params["lora"], alpha)
+            return probe.backbone._features(bp, pixels, pooling)
 
         def loss_fn(params, batch_stats, pixels, y, rng):
-            feats = probe.backbone._features(params["backbone"], pixels,
-                                             pooling)
+            feats = backbone_feats(params, pixels)
             logits, mut = clf.apply(
                 {"params": params["head"], "batch_stats": batch_stats},
                 feats, train=True, mutable=["batch_stats"],
@@ -270,8 +308,7 @@ class SingleTaskTrainer(BaseTrainer):
 
         @jax.jit
         def eval_step(params, batch_stats, pixels, y):
-            feats = probe.backbone._features(params["backbone"], pixels,
-                                             pooling)
+            feats = backbone_feats(params, pixels)
             logits = clf.apply({"params": params["head"],
                                 "batch_stats": batch_stats}, feats,
                                train=False)
@@ -312,6 +349,8 @@ class SingleTaskTrainer(BaseTrainer):
                 params, bs, self._opt_state, pixels, y, self._next_rng())
         self.probe.head_state = {"params": params["head"], "batch_stats": bs}
         self.probe.backbone.params = params["backbone"]
+        if self.lora_spec:
+            self.lora_params = params["lora"]
         return {self.task: float(loss)}
 
     def eval_batch(self, batch) -> Dict[str, float]:
@@ -344,6 +383,8 @@ class SingleTaskTrainer(BaseTrainer):
         if not self.use_feature_cache:
             state["backbone"] = jax.tree.map(
                 np.asarray, self.probe.backbone.params)
+        if self.lora_spec:
+            state["lora"] = jax.tree.map(np.asarray, self.lora_params)
         return state
 
     def load_model_state(self, blob: dict):
@@ -355,6 +396,9 @@ class SingleTaskTrainer(BaseTrainer):
         if "backbone" in model and not self.use_feature_cache:
             self.probe.backbone.params = serialization.from_state_dict(
                 self.probe.backbone.params, model["backbone"])
+        if "lora" in model and self.lora_spec:
+            self.lora_params = serialization.from_state_dict(
+                self.lora_params, model["lora"])
 
     def opt_state_handle(self):
         return self._opt_state
