@@ -100,7 +100,8 @@ def main():
                 model = VLMModelFactory.create_model(
                     model_name, model_id=model_id,
                     quantization=quant, size=cfg.get("model_size"),
-                    mesh=cfg.get("mesh"))
+                    mesh=cfg.get("mesh"),
+                    quantize_vision=cfg.get("quantize_vision"))
             except Exception as e:    # noqa: BLE001 — recorded per combo
                 # One bad checkpoint must not abort the whole sweep
                 # (incremental flush() exists for exactly this reason).

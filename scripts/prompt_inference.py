@@ -73,7 +73,8 @@ def main():
         os.environ["VLM_TPU_KV_CACHE"] = "int8"
     model = VLMModelFactory.create_model(
         model_name, model_id=cfg.get("model_id"), quantization=quantization,
-        size=cfg.get("model_size"), mesh=cfg.get("mesh"))
+        size=cfg.get("model_size"), mesh=cfg.get("mesh"),
+        quantize_vision=cfg.get("quantize_vision"))
     if model.mesh is not None:
         # Guard against a silently-dead mesh knob: params must actually be
         # placed (and TP-split when model>1) on the configured mesh.

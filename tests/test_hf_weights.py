@@ -288,6 +288,30 @@ class TestQuantizedLoad:
         # vision tower stays fp
         assert "kernel" in out["params"]["vision"]["block_0"]["attn"]["q_proj"]
 
+    def test_loads_into_quantized_vision_tower(self, tmp_path):
+        """``quantize_vision``: the loader writes the checkpoint's fp
+        vision kernels into (q_kernel, scale) exactly as it does for the
+        decoder (reference whole-model load_in_8bit,
+        `/root/reference/models/base_model.py:85-91`)."""
+        from vlm_tpu.ops.quant import QuantizedWeight, dequantize
+        cfg = llava_config("test")
+        module, params = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32,
+                                  quant_bits=8, vision_quant_bits=8)
+        hf = _fake_llava_checkpoint(tmp_path, cfg)
+        out = load_vlm_weights("llava", cfg, tmp_path, params)
+        node = out["params"]["vision"]["block_0"]["attn"]["q_proj"]
+
+        def unbox(x):
+            return x.unbox() if hasattr(x, "unbox") else x
+
+        q = unbox(node["q_kernel"])
+        assert q.dtype == jnp.int8
+        want = hf["vision_tower.vision_model.encoder.layers.0"
+                  ".self_attn.q_proj.weight"].T
+        deq = dequantize(QuantizedWeight(q, unbox(node["scale"]), 0))
+        rel = float(jnp.abs(deq - want).max() / jnp.abs(want).max())
+        assert rel < 0.01
+
     def test_generation_with_quantized_converted_weights(self, tmp_path):
         from vlm_tpu.models.factory import VLMModelFactory
         _fake_llava_checkpoint(tmp_path, llava_config("test"))

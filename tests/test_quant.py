@@ -250,3 +250,63 @@ class TestOutlierDecomposition:
                                          use_pallas=False)
         assert out.shape == (4, 16)
 
+
+
+class TestVisionQuant:
+    """``quantize_vision``: tower Dense layers quantized to the decoder's
+    bits (reference whole-model ``load_in_8bit`` semantics,
+    `/root/reference/models/base_model.py:85-91`)."""
+
+    @pytest.mark.parametrize("quant", ["8bit", "4bit"])
+    def test_vision_params_quantized_and_forward(self, quant):
+        from PIL import Image
+
+        from vlm_tpu.models.factory import VLMModelFactory
+        m = VLMModelFactory.create_model(
+            "paligemma", size="test", quantization=quant,
+            quantize_vision=True)
+        blk = m.params["params"]["vision"]["block_0"]["attn"]["q_proj"]
+        assert "q_kernel" in blk and "kernel" not in blk
+        # patch embedding stays fp (the bnb skip-list analogue)
+        emb = m.params["params"]["vision"]["patch_embed"]
+        assert not any("q_kernel" in str(k) for k in emb)
+        img = Image.fromarray(np.zeros((32, 32, 3), np.uint8))
+        out = m.generate_batch([img], "x", max_tokens=3)
+        assert len(out) == 1
+
+    def test_default_vision_stays_fp(self):
+        from vlm_tpu.models.factory import VLMModelFactory
+        m = VLMModelFactory.create_model("paligemma", size="test",
+                                         quantization="8bit")
+        blk = m.params["params"]["vision"]["block_0"]["attn"]["q_proj"]
+        assert "kernel" in blk and "q_kernel" not in blk
+
+    def test_unfreeze_and_lora_guards(self):
+        from vlm_tpu.models.factory import VLMModelFactory
+        bb = VLMModelFactory.create_model(
+            "paligemma", size="test", quantization="8bit",
+            quantize_vision=True).get_vision_backbone()
+        with pytest.raises(ValueError, match="quantized vision tower"):
+            bb.unfreeze_last_k_layers(1)
+        with pytest.raises(ValueError, match="quantized vision tower"):
+            bb.get_lora_target_names({"last_k": 1})
+        # frozen feature extraction still works
+        feats = bb.forward([__import__("PIL.Image", fromlist=["Image"])
+                            .fromarray(np.zeros((40, 40, 3), np.uint8))])
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_int4_group_fallback_non_dividing_dim(self):
+        """SigLIP's mlp_dim (4304 = 16*269) doesn't divide the default
+        128 group; Dense must fall back to the largest dividing
+        power-of-two group instead of asserting."""
+        from vlm_tpu.models.layers import Dense
+        d = Dense(8, dtype=jnp.float32, param_dtype=jnp.float32,
+                  quant_bits=4)
+        x = jnp.zeros((2, 144), jnp.float32)    # 144 = 16*9 -> group 16
+        params = d.init(jax.random.key(0), x)
+        scale = params["params"]["scale"]
+        if hasattr(scale, "unbox"):
+            scale = scale.unbox()
+        assert scale.shape == (144 // 16, 8)
+        y = d.apply(params, x)
+        assert y.shape == (2, 8)

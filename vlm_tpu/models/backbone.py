@@ -48,7 +48,7 @@ class VisionBackbone:
 
     def __init__(self, cfg: VLMConfig, vision_params: Any,
                  policy: DTypePolicy, attn_impl: str = "auto",
-                 batch_size: int = 64, mesh=None):
+                 batch_size: int = 64, mesh=None, quant_bits: int = 0):
         from ..core.mesh import DATA_AXIS, pad_to_multiple
         self.cfg = cfg
         #: optional (data, model) mesh inherited from the parent VLMModel —
@@ -66,9 +66,12 @@ class VisionBackbone:
                                       image_size=cfg.vision.image_size)
         self.policy = policy
         self.batch_size = batch_size
+        #: int8/int4 tower (``quantize_vision`` on the parent model) —
+        #: feature extraction only; unfreeze/e2e training raises below.
+        self.quant_bits = quant_bits
         self.module = ViTEncoder(cfg.vision, dtype=policy.compute_dtype,
                                  param_dtype=jnp.float32,
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn_impl, quant_bits=quant_bits)
         self.params = vision_params
         # All-frozen by default, like LinearProbe(freeze_backbone=True)
         # (reference: probing/models/base_probe.py:77-83).
@@ -196,6 +199,14 @@ class VisionBackbone:
         included, embeddings/global norms optionally, mirroring
         `/root/reference/models/llava.py:121-186`.
         """
+        if self.quant_bits and int(k) > 0:
+            # Quantized Dense stops gradients at the dequant — unfreezing
+            # would silently train nothing (bitsandbytes int8 layers have
+            # the same limitation; the reference would hit it too).
+            raise ValueError(
+                "cannot unfreeze layers of a quantized vision tower "
+                f"(quant_bits={self.quant_bits}); use quantization=fp32/"
+                "fp16 or quantize_vision=false for end-to-end training")
         n_layers = self.vit_cfg.layers
         selected = set(range(max(0, n_layers - int(k)), n_layers)) \
             if int(k) > 0 else set()
@@ -233,6 +244,14 @@ class VisionBackbone:
     def get_lora_target_names(self, strategy: Dict) -> List[str]:
         """Names of linear-kernel paths in the last K blocks
         (reference: llava.py:189-230)."""
+        if self.quant_bits:
+            # Quantized Dense packs weights as (q_kernel, scale) — no fp
+            # kernel to merge adapters into, so the name scan below would
+            # silently return [] and a LoRA run would train nothing.
+            raise ValueError(
+                "LoRA targets unavailable on a quantized vision tower "
+                f"(quant_bits={self.quant_bits}); use quantize_vision="
+                "false (the default) for LoRA fine-tuning")
         last_k = int(strategy.get("last_k", 2))
         attn_only = bool(strategy.get("attn_only", True))
         n_layers = self.vit_cfg.layers

@@ -48,7 +48,7 @@ class VLMModel:
                  device=None, quantization: str = "fp32", *,
                  size: Optional[str] = None, seed: int = 0,
                  batch_size: int = 8, attn_impl: str = "auto",
-                 mesh=None):
+                 mesh=None, quantize_vision: Optional[bool] = None):
         from ..core.mesh import mesh_from_config
         from .configs import VLM_CONFIGS
         self.model_id = model_id
@@ -75,13 +75,28 @@ class VLMModel:
             eos_id=self.cfg.decoder.eos_token_id,
             pad_id=self.cfg.decoder.pad_token_id)
 
+        # Vision-tower quantization (``quantize_vision`` config knob /
+        # ``VLM_TPU_QUANT_VISION=1`` env): quantize the encoder's Dense
+        # layers to the same bits as the decoder. OFF by default — the
+        # decoder dominates weights for LLaVA/PaliGemma and an fp tower is
+        # strictly more accurate — but matches the reference's
+        # whole-model ``load_in_8bit`` semantics and pays for BLIP-2,
+        # whose EVA ViT-g is 1B params of encoder compute per image.
+        if quantize_vision is None:
+            import os
+            quantize_vision = os.environ.get(
+                "VLM_TPU_QUANT_VISION", "0") == "1"
+        self.quantize_vision = bool(quantize_vision)
+        self.vision_quant_bits = (self.policy.quantized_bits
+                                  if self.quantize_vision else 0)
         self.module, self.params = init_vlm(
             self.cfg, jax.random.key(seed),
             dtype=self.policy.compute_dtype,
             param_dtype=jnp.float32 if self.policy.name == "fp32"
             else jnp.bfloat16,
             attn_impl=attn_impl,
-            quant_bits=self.policy.quantized_bits)
+            quant_bits=self.policy.quantized_bits,
+            vision_quant_bits=self.vision_quant_bits)
         self._maybe_load_weights()
         if self.mesh is not None:
             from ..parallel.sharding import shard_params
@@ -331,7 +346,8 @@ class VLMModel:
         backbone = VisionBackbone(self.cfg, vision_params, self.policy,
                                   attn_impl=self.attn_impl,
                                   batch_size=self.batch_size,
-                                  mesh=self.mesh)
+                                  mesh=self.mesh,
+                                  quant_bits=self.vision_quant_bits)
         if cleanup:
             self.params = None
             self.module = None

@@ -129,8 +129,15 @@ class Dense(nn.Module):
                 gs = 0
                 s_shape = (1, self.features)
             else:
+                # Largest power-of-two group <= quant_group that divides
+                # in_dim: decoder dims all divide 128 (no change), encoder
+                # oddballs (SigLIP mlp_dim 4304 = 16*269) drop to a finer
+                # group instead of asserting.
                 gs = min(self.quant_group, in_dim)
-                assert in_dim % 2 == 0 and in_dim % gs == 0, (in_dim, gs)
+                while gs > 1 and in_dim % gs:
+                    gs //= 2
+                assert in_dim % 2 == 0 and in_dim % gs == 0 and gs >= 2, \
+                    (in_dim, gs)
                 q_shape = (in_dim // 2, self.features)
                 s_shape = (in_dim // gs, self.features)
 

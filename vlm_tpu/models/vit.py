@@ -29,12 +29,14 @@ class ViTAttention(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     attn_impl: str = "auto"
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         b, s, _ = x.shape
-        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant_bits=self.quant_bits)
         q = Dense(cfg.hidden, shard=(None, "model"), name="q_proj", **dd)(x)
         k = Dense(cfg.hidden, use_bias=cfg.k_bias, shard=(None, "model"),
                   name="k_proj", **dd)(x)
@@ -54,6 +56,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     attn_impl: str = "auto"
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -61,8 +64,10 @@ class ViTBlock(nn.Module):
         ln = lambda name: LayerNorm(eps=cfg.layer_norm_eps,
                                     param_dtype=self.param_dtype, name=name)
         x = x + ViTAttention(cfg, self.dtype, self.param_dtype,
-                             self.attn_impl, name="attn")(ln("ln1")(x))
-        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+                             self.attn_impl, self.quant_bits,
+                             name="attn")(ln("ln1")(x))
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant_bits=self.quant_bits)
         h = Dense(cfg.mlp_dim, shard=(None, "model"), name="fc1", **dd)(
             ln("ln2")(x))
         h = activation(cfg.act)(h)
@@ -82,6 +87,14 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    #: quantize the block Dense layers (q/k/v/out, fc1/fc2) to int8/int4 —
+    #: the reference's ``load_in_8bit`` quantizes the vision tower's Linear
+    #: layers too (bitsandbytes replaces every nn.Linear outside the skip
+    #: list, `/root/reference/models/base_model.py:85-91`); patch embedding,
+    #: norms and embeddings stay fp (the bnb skip-list analogue). Encoder
+    #: blocks run at prefill-like shapes (m = batch x tokens), so the
+    #: large-m dispatch in Dense applies.
+    quant_bits: int = 0
 
     @nn.compact
     def __call__(self, pixels: jax.Array,
@@ -115,7 +128,7 @@ class ViTEncoder(nn.Module):
         hidden_states = [x] if keep_hidden_states else None
         for i in range(cfg.layers):
             x = ViTBlock(cfg, self.dtype, self.param_dtype, self.attn_impl,
-                         name=f"block_{i}")(x)
+                         self.quant_bits, name=f"block_{i}")(x)
             if keep_hidden_states:
                 hidden_states.append(x)
 
@@ -142,10 +155,11 @@ class ViTEncoder(nn.Module):
 
 
 def init_vit(cfg: ViTConfig, rng: jax.Array, dtype=jnp.bfloat16,
-             param_dtype=jnp.float32, attn_impl: str = "auto"):
+             param_dtype=jnp.float32, attn_impl: str = "auto",
+             quant_bits: int = 0):
     """Build module + params for a ViT encoder."""
     module = ViTEncoder(cfg, dtype=dtype, param_dtype=param_dtype,
-                        attn_impl=attn_impl)
+                        attn_impl=attn_impl, quant_bits=quant_bits)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), dtype)
     params = module.init(rng, dummy)
     return module, params

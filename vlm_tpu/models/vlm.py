@@ -36,12 +36,21 @@ class VLMModule(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     quant_bits: int = 0      # decoder weight quantization (8bit/4bit modes)
+    #: vision-tower weight quantization. 0 keeps the tower in the compute
+    #: dtype (strictly more accurate than the reference, whose load_in_8bit
+    #: quantizes the tower's Linears too); set to the same bits as the
+    #: decoder for reference-equivalent whole-model quantization — the big
+    #: win is BLIP-2's 1B-param EVA ViT-g (the per-image cost there is
+    #: encoder-dominated, IMPLEMENTATION_NOTES round-3 BLIP-2 section).
+    vision_quant_bits: int = 0
 
     def setup(self):
         cfg = self.cfg
         self.vision = ViTEncoder(cfg.vision, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 attn_impl=self.attn_impl, name="vision")
+                                 attn_impl=self.attn_impl,
+                                 quant_bits=self.vision_quant_bits,
+                                 name="vision")
         self.projector = build_projector(cfg, self.dtype, self.param_dtype)
         self.decoder = Decoder(cfg.decoder, dtype=self.dtype,
                                param_dtype=self.param_dtype,
@@ -171,9 +180,10 @@ def num_image_tokens(cfg: VLMConfig) -> int:
 
 def init_vlm(cfg: VLMConfig, rng: jax.Array, dtype=jnp.bfloat16,
              param_dtype=jnp.float32, attn_impl: str = "auto",
-             quant_bits: int = 0):
+             quant_bits: int = 0, vision_quant_bits: int = 0):
     module = VLMModule(cfg, dtype=dtype, param_dtype=param_dtype,
-                       attn_impl=attn_impl, quant_bits=quant_bits)
+                       attn_impl=attn_impl, quant_bits=quant_bits,
+                       vision_quant_bits=vision_quant_bits)
     px = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
                    dtype)
     pre = jnp.zeros((1, 2), jnp.int32)

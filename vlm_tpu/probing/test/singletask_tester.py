@@ -70,7 +70,9 @@ class SingleTaskTester(BaseTester):
             self.model_name, model_id=self.head_cfg.get(
                 "model", {}).get("model_id"),
             quantization=self.quantization, size=self.model_size,
-            mesh=self.cfg.get("mesh"))
+            mesh=self.cfg.get("mesh"),
+            quantize_vision=self.head_cfg.get(
+                "model", {}).get("quantize_vision"))
         bb = vlm.get_vision_backbone()
         del vlm
         return bb

@@ -73,7 +73,8 @@ class MultiTaskTrainer(BaseTrainer):
         vlm = VLMModelFactory.create_model(
             mcfg["name"], model_id=mcfg.get("model_id"),
             quantization=mcfg.get("quantization"), size=mcfg.get("size"),
-            mesh=self.cfg.get("mesh"))
+            mesh=self.cfg.get("mesh"),
+            quantize_vision=mcfg.get("quantize_vision"))
         backbone = vlm.get_vision_backbone()
         self.mesh = backbone.mesh
         del vlm
