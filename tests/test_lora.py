@@ -118,10 +118,13 @@ class TestLoraTraining:
             lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
             lora_before, tr.lora_params)
         assert max(jax.tree.leaves(moved)) > 0
-        # checkpoint blob carries the adapters
+        # checkpoint blob carries the adapters but NOT the provably-frozen
+        # 300M-param base tower (reconstructible from model_id/seed)
         from vlm_tpu.probing.train.utils import load_state
         blob = load_state(ckroot / "lora_run" / "model.msgpack")
-        assert "lora" in blob.get("model", blob)
+        model = blob.get("model", blob)
+        assert "lora" in model
+        assert "backbone" not in model
 
     def test_tester_merges_and_evaluates(self, in_env):  # noqa: F811
         root, base = in_env
@@ -184,3 +187,37 @@ class TestLoraTraining:
             lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
             lora_before, tr.lora_params)
         assert max(jax.tree.leaves(moved)) > 0
+
+
+class TestLoraWiring:
+    """Shared trainer-wiring helpers (vlm_tpu/probing/lora.py)."""
+
+    def test_lr_zero_honored(self):
+        """An explicit lora.lr: 0.0 must freeze the adapters, not fall
+        back to the head LR (falsy-or regression)."""
+        from vlm_tpu.probing.lora import init_lora, lora_transform
+        params = {"layer": {"kernel": jnp.zeros((8, 4), jnp.float32)}}
+        lora = init_lora(params, ["layer"], rank=2, rng=jax.random.key(0))
+        _, tx = lora_transform({"lr": 0.0, "rank": 2}, lora,
+                               head_lr=1e-2, lr_scale=1.0, weight_decay=0.0)
+        state = tx.init(lora)
+        grads = jax.tree.map(jnp.ones_like, lora)
+        updates, _ = tx.update(grads, state, lora)
+        assert max(float(jnp.abs(u).max())
+                   for u in jax.tree.leaves(updates)) == 0.0
+        # and a missing lr falls back to the head LR (non-zero updates)
+        _, tx2 = lora_transform({"lr": None, "rank": 2}, lora,
+                                head_lr=1e-2, lr_scale=1.0, weight_decay=0.0)
+        updates2, _ = tx2.update(grads, tx2.init(lora), lora)
+        assert max(float(jnp.abs(u).max())
+                   for u in jax.tree.leaves(updates2)) > 0.0
+
+    def test_empty_target_selection_message(self):
+        """last_k: 0 on an fp tower must blame the selection strategy, not
+        quantization."""
+        from vlm_tpu.models.factory import VLMModelFactory
+        from vlm_tpu.probing.lora import resolve_lora
+        bb = VLMModelFactory.create_model(
+            "paligemma", size="test").get_vision_backbone()
+        with pytest.raises(ValueError, match="matched no layers"):
+            resolve_lora({"lora": {"enabled": True, "last_k": 0}}, bb, 0)

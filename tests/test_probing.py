@@ -238,3 +238,35 @@ class TestMultiTask:
             mfile = root / "probing" / "multitask_probing" / "eval" / run / \
                 task / "TestDataset" / "metrics.json"
             assert mfile.exists()
+
+
+class TestQuantizedTowerProbing:
+    def test_vq_cache_dir_and_snapshot(self, in_env):
+        """A quantized-tower probing run must (a) use its own feature-cache
+        directory (never share fp-tower features) and (b) record the
+        resolved quantize_vision in head_config.yaml so the tester rebuilds
+        the same tower — including when it arrives via the
+        VLM_TPU_QUANT_VISION env fallback."""
+        import os
+        root, base = in_env
+        from vlm_tpu.probing.train.singletask_trainer import \
+            SingleTaskTrainer
+        ckroot = root / "probing" / "lp_vq"
+        shutil.rmtree(ckroot, ignore_errors=True)
+        os.environ["VLM_TPU_QUANT_VISION"] = "1"
+        try:
+            cfg = _single_cfg(base, model={"quantization": "8bit"})
+            assert "quantize_vision" not in cfg["model"]
+            tr = SingleTaskTrainer(cfg, "vq_run", ckroot)
+        finally:
+            os.environ.pop("VLM_TPU_QUANT_VISION", None)
+        assert tr.use_feature_cache
+        assert tr.features_dir.name.endswith("_vq")
+        saved = yaml.safe_load(
+            (ckroot / "vq_run" / "head_config.yaml").read_text())
+        assert saved["model"]["quantize_vision"] is True
+        # fp run on the same config keys gets a different cache dir
+        tr_fp = SingleTaskTrainer(
+            _single_cfg(base, model={"quantization": "8bit"}),
+            "fp_run", root / "probing" / "lp_fp")
+        assert tr_fp.features_dir != tr.features_dir

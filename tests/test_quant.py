@@ -290,6 +290,9 @@ class TestVisionQuant:
             bb.unfreeze_last_k_layers(1)
         with pytest.raises(ValueError, match="quantized vision tower"):
             bb.get_lora_target_names({"last_k": 1})
+        with pytest.raises(ValueError, match="quantized vision tower"):
+            bb.set_freeze(False)        # model.backbone.freeze: false path
+        bb.set_freeze(True)             # re-freezing is always fine
         # frozen feature extraction still works
         feats = bb.forward([__import__("PIL.Image", fromlist=["Image"])
                             .fromarray(np.zeros((40, 40, 3), np.uint8))])

@@ -177,6 +177,14 @@ class VisionBackbone:
 
     # ------------------------- freeze / unfreeze -------------------------
     def set_freeze(self, freeze: bool):
+        if not freeze and self.quant_bits:
+            # Same rationale as the unfreeze_last_k_layers guard: int8/int4
+            # q_kernel leaves stop gradients at the dequant, so full-unfreeze
+            # would hand integer params to the optimizer and train nothing.
+            raise ValueError(
+                "cannot unfreeze a quantized vision tower "
+                f"(quant_bits={self.quant_bits}); use quantization=fp32/"
+                "fp16 or quantize_vision=false for end-to-end training")
         self.trainable_mask = jax.tree.map(lambda _: not freeze, self.params)
 
     @property

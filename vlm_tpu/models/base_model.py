@@ -36,6 +36,17 @@ from .configs import VLMConfig
 from .vlm import init_vlm, num_image_tokens
 
 
+def resolve_quantize_vision(flag: Optional[bool]) -> bool:
+    """Resolve the ``quantize_vision`` knob: explicit value wins, else the
+    ``VLM_TPU_QUANT_VISION=1`` env fallback. Exposed so trainers can record
+    the *resolved* value in their config snapshots (``head_config.yaml``) —
+    a tester run in a different shell must rebuild the same tower."""
+    if flag is None:
+        import os
+        return os.environ.get("VLM_TPU_QUANT_VISION", "0") == "1"
+    return bool(flag)
+
+
 class VLMModel:
     """Base VLM. Subclasses define the prompt template via
     :meth:`format_prompt` (reference: llava.py:49-61, blip2.py:48,
@@ -82,11 +93,7 @@ class VLMModel:
         # strictly more accurate — but matches the reference's
         # whole-model ``load_in_8bit`` semantics and pays for BLIP-2,
         # whose EVA ViT-g is 1B params of encoder compute per image.
-        if quantize_vision is None:
-            import os
-            quantize_vision = os.environ.get(
-                "VLM_TPU_QUANT_VISION", "0") == "1"
-        self.quantize_vision = bool(quantize_vision)
+        self.quantize_vision = resolve_quantize_vision(quantize_vision)
         self.vision_quant_bits = (self.policy.quantized_bits
                                   if self.quantize_vision else 0)
         self.module, self.params = init_vlm(

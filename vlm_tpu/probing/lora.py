@@ -14,7 +14,7 @@ surrounding graph. At test time the adapters are merged once into the
 param tree, so inference runs at exactly base-model speed.
 
 Adapter trees are keyed by the same "/"-joined layer names
-``get_lora_target_names`` returns (e.g. ``encoder/blocks_23/attn/q_proj``),
+``get_lora_target_names`` returns (e.g. ``block_23/attn/q_proj``),
 so the two surfaces compose directly::
 
     targets = backbone.get_lora_target_names({"last_k": 2, "attn_only": True})
@@ -128,3 +128,59 @@ def lora_spec(cfg: dict) -> dict:
         "attn_only": bool(cfg.get("attn_only", True)),
         "lr": cfg.get("lr"),
     }
+
+
+# ------------------- trainer wiring (shared by both trainers) -------------------
+
+def resolve_lora(mcfg: dict, backbone, seed: int):
+    """Parse ``mcfg['lora']`` and initialize adapters against ``backbone``.
+
+    Returns ``(spec, lora_params)`` — ``({}, None)`` when LoRA is disabled.
+    Single home for the enable/enumerate/init sequence so SingleTask and
+    MultiTask trainers cannot drift."""
+    spec = lora_spec(mcfg.get("lora"))
+    if not spec:
+        return {}, None
+    # Quantized towers raise inside get_lora_target_names with their own
+    # message; an empty result here therefore means the selection strategy
+    # matched nothing (e.g. last_k: 0).
+    targets = backbone.get_lora_target_names(
+        {"last_k": spec["last_k"], "attn_only": spec["attn_only"]})
+    if not targets:
+        raise ValueError(
+            f"lora.enabled but the target selection matched no layers — "
+            f"check lora.last_k (={spec['last_k']}) and lora.attn_only "
+            f"(={spec['attn_only']}) against the tower's layer count")
+    params = init_lora(backbone.params, targets, spec["rank"],
+                       jax.random.fold_in(jax.random.key(seed), 7))
+    print(f"[Trainer] LoRA enabled: rank {spec['rank']}, "
+          f"alpha {spec['alpha']}, {len(targets)} target layers")
+    return spec, params
+
+
+def lora_transform(spec: dict, lora_params, head_lr: float,
+                   lr_scale: float, weight_decay: float):
+    """``(label_tree, optax transform)`` for the adapter leaves.
+
+    An explicit ``lora.lr: 0.0`` is honored (frozen-adapter ablation);
+    only a *missing* lr falls back to the head LR."""
+    import optax
+    lr = spec["lr"] if spec.get("lr") is not None else head_lr
+    labels = jax.tree_util.tree_map(lambda _: "lora", lora_params)
+    return labels, optax.adamw(float(lr) * lr_scale,
+                               weight_decay=weight_decay)
+
+
+def features_with_lora(backbone, pooling: str, spec: dict):
+    """Feature-extraction closure over a params dict ``{"backbone": ...,
+    ["lora": ...]}`` that merges adapters (when enabled) before the
+    encoder forward. Differentiable through the merge."""
+    alpha = spec.get("alpha") if spec else None
+
+    def feats(params, pixels):
+        bp = params["backbone"]
+        if alpha is not None:
+            bp = merge_lora(bp, params["lora"], alpha)
+        return backbone._features(bp, pixels, pooling)
+
+    return feats

@@ -70,11 +70,17 @@ class MultiTaskTrainer(BaseTrainer):
         freeze_flag = bool(bb_cfg.get("freeze", True))
         unfreeze_k = int(bb_cfg.get("unfreeze_last_k", 0))
 
+        # Resolve the env fallback and write it back so the head_config.yaml
+        # snapshot records the tower actually trained with (see
+        # SingleTaskTrainer.build_probe).
+        from ...models.base_model import resolve_quantize_vision
+        mcfg["quantize_vision"] = resolve_quantize_vision(
+            mcfg.get("quantize_vision"))
         vlm = VLMModelFactory.create_model(
             mcfg["name"], model_id=mcfg.get("model_id"),
             quantization=mcfg.get("quantization"), size=mcfg.get("size"),
             mesh=self.cfg.get("mesh"),
-            quantize_vision=mcfg.get("quantize_vision"))
+            quantize_vision=mcfg["quantize_vision"])
         backbone = vlm.get_vision_backbone()
         self.mesh = backbone.mesh
         del vlm
@@ -97,23 +103,9 @@ class MultiTaskTrainer(BaseTrainer):
                                                    True)))
 
         # LoRA adapters (same surface as SingleTaskTrainer; see lora.py).
-        from ..lora import init_lora, lora_spec
-        self.lora_spec = lora_spec(mcfg.get("lora"))
-        self.lora_params = None
-        if self.lora_spec:
-            targets = backbone.get_lora_target_names(
-                {"last_k": self.lora_spec["last_k"],
-                 "attn_only": self.lora_spec["attn_only"]})
-            if not targets:
-                raise ValueError(
-                    "lora.enabled but no LoRA targets found (quantized "
-                    "towers are not LoRA-trainable)")
-            self.lora_params = init_lora(
-                backbone.params, targets, self.lora_spec["rank"],
-                jax.random.fold_in(jax.random.key(self.seed), 7))
-            print(f"[Trainer] LoRA enabled: rank {self.lora_spec['rank']}, "
-                  f"alpha {self.lora_spec['alpha']}, "
-                  f"{len(targets)} target layers")
+        from ..lora import resolve_lora
+        self.lora_spec, self.lora_params = resolve_lora(
+            mcfg, backbone, self.seed)
 
     # ------------ data ------------
     def build_data(self):
@@ -207,11 +199,10 @@ class MultiTaskTrainer(BaseTrainer):
                                        weight_decay=self.weight_decay),
                "frozen": optax.set_to_zero()}
         if self.lora_spec:
-            lora_lr = float(self.lora_spec.get("lr") or self.head_lr)
-            labels["lora"] = jax.tree.map(lambda _: "lora",
-                                          self.lora_params)
-            txs["lora"] = optax.adamw(lora_lr * self.lr_scale,
-                                      weight_decay=self.weight_decay)
+            from ..lora import lora_transform
+            labels["lora"], txs["lora"] = lora_transform(
+                self.lora_spec, self.lora_params, self.head_lr,
+                self.lr_scale, self.weight_decay)
         self.tx = optax.multi_transform(txs, labels)
         self._opt_state = self.tx.init(self._params())
         self._make_steps()
@@ -226,15 +217,10 @@ class MultiTaskTrainer(BaseTrainer):
         tasks = self.tasks
         tx = self.tx
         ce_weights = self.ce_weights
-        pooling = probe.backbone.cfg.backbone_pooling
-        alpha = self.lora_spec.get("alpha") if self.lora_spec else None
-
-        def backbone_feats(params, pixels):
-            bp = params["backbone"]
-            if alpha is not None:
-                from ..lora import merge_lora
-                bp = merge_lora(bp, params["lora"], alpha)
-            return probe.backbone._features(bp, pixels, pooling)
+        from ..lora import features_with_lora
+        backbone_feats = features_with_lora(
+            probe.backbone, probe.backbone.cfg.backbone_pooling,
+            self.lora_spec)
 
         def losses_fn(params, stats, pixels, ys, rng):
             feats = backbone_feats(params, pixels)
@@ -370,9 +356,13 @@ class MultiTaskTrainer(BaseTrainer):
 
     # ------------ state ------------
     def model_state(self) -> dict:
-        state = {"heads": jax.tree.map(np.asarray, self.probe.head_state),
-                 "backbone": jax.tree.map(np.asarray,
-                                          self.probe.backbone.params)}
+        state = {"heads": jax.tree.map(np.asarray, self.probe.head_state)}
+        # Skip the tower when provably frozen (LoRA / frozen runs) — it is
+        # byte-identical to init and reconstructible from model_id/seed;
+        # the testers tolerate a blob without "backbone".
+        if not self.probe.fully_frozen:
+            state["backbone"] = jax.tree.map(np.asarray,
+                                             self.probe.backbone.params)
         if self.lora_spec:
             state["lora"] = jax.tree.map(np.asarray, self.lora_params)
         return state

@@ -49,11 +49,18 @@ class SingleTaskTrainer(BaseTrainer):
         freeze_flag = bool(bb_cfg.get("freeze", True))
         unfreeze_k = int(bb_cfg.get("unfreeze_last_k", 0))
 
+        # Resolve the env fallback HERE and write it back so the
+        # head_config.yaml snapshot (written after build_probe) records the
+        # tower the features/head were actually trained with — a tester in
+        # a different shell must not rebuild a different one.
+        from ...models.base_model import resolve_quantize_vision
+        mcfg["quantize_vision"] = resolve_quantize_vision(
+            mcfg.get("quantize_vision"))
         vlm = VLMModelFactory.create_model(
             mcfg["name"], model_id=mcfg.get("model_id"),
             quantization=mcfg.get("quantization"),
             size=mcfg.get("size"), mesh=self.cfg.get("mesh"),
-            quantize_vision=mcfg.get("quantize_vision"))
+            quantize_vision=mcfg["quantize_vision"])
         backbone = vlm.get_vision_backbone()
         self.mesh = backbone.mesh
         del vlm
@@ -77,23 +84,9 @@ class SingleTaskTrainer(BaseTrainer):
         # LoRA mode: frozen base + low-rank adapters on the last-k blocks
         # (the training loop the reference's get_lora_target_names surface
         # implies but never implements — see vlm_tpu/probing/lora.py).
-        from ..lora import init_lora, lora_spec
-        self.lora_spec = lora_spec(mcfg.get("lora"))
-        self.lora_params = None
-        if self.lora_spec:
-            targets = backbone.get_lora_target_names(
-                {"last_k": self.lora_spec["last_k"],
-                 "attn_only": self.lora_spec["attn_only"]})
-            if not targets:
-                raise ValueError(
-                    "lora.enabled but no LoRA targets found (quantized "
-                    "towers are not LoRA-trainable)")
-            self.lora_params = init_lora(
-                backbone.params, targets, self.lora_spec["rank"],
-                jax.random.fold_in(jax.random.key(self.seed), 7))
-            print(f"[Trainer] LoRA enabled: rank {self.lora_spec['rank']}, "
-                  f"alpha {self.lora_spec['alpha']}, "
-                  f"{len(targets)} target layers")
+        from ..lora import resolve_lora
+        self.lora_spec, self.lora_params = resolve_lora(
+            mcfg, backbone, self.seed)
 
     # ------------ data ------------
     def build_data(self):
@@ -134,10 +127,13 @@ class SingleTaskTrainer(BaseTrainer):
             # non-default model sizes get their own cache dir so a "test"
             # run can never poison a full-size run with wrong-dim features.
             size_tag = f"_{mcfg['size']}" if mcfg.get("size") else ""
+            # Quantized-tower features differ numerically from fp-tower
+            # features at the same dim — they must never share a cache dir.
+            vq_tag = "_vq" if mcfg.get("quantize_vision") else ""
             self.features_dir = (project_root() / "probing" /
                                  "linear_probing" / "features" /
                                  f"{mcfg['name']}_{mcfg.get('quantization')}_"
-                                 f"{self.task}{size_tag}")
+                                 f"{self.task}{size_tag}{vq_tag}")
             self.features_dir.mkdir(parents=True, exist_ok=True)
             xtr, ytr = self._ensure_features(train_ds, "train")
             xva, yva = self._ensure_features(val_ds, "val")
@@ -223,11 +219,10 @@ class SingleTaskTrainer(BaseTrainer):
                                            weight_decay=self.weight_decay),
                    "frozen": optax.set_to_zero()}
             if self.lora_spec:
-                lora_lr = float(self.lora_spec.get("lr") or self.head_lr)
-                labels["lora"] = jax.tree.map(lambda _: "lora",
-                                              self.lora_params)
-                txs["lora"] = optax.adamw(lora_lr * self.lr_scale,
-                                          weight_decay=self.weight_decay)
+                from ..lora import lora_transform
+                labels["lora"], txs["lora"] = lora_transform(
+                    self.lora_spec, self.lora_params, self.head_lr,
+                    self.lr_scale, self.weight_decay)
             self.tx = optax.multi_transform(txs, labels)
             self._opt_state = self.tx.init(self._e2e_params())
             self._make_e2e_steps()
@@ -281,15 +276,10 @@ class SingleTaskTrainer(BaseTrainer):
         clf = probe.classifier
         cw = self.class_weights
         tx = self.tx
-        pooling = probe.backbone.cfg.backbone_pooling
-        alpha = self.lora_spec.get("alpha") if self.lora_spec else None
-
-        def backbone_feats(params, pixels):
-            bp = params["backbone"]
-            if alpha is not None:
-                from ..lora import merge_lora
-                bp = merge_lora(bp, params["lora"], alpha)
-            return probe.backbone._features(bp, pixels, pooling)
+        from ..lora import features_with_lora
+        backbone_feats = features_with_lora(
+            probe.backbone, probe.backbone.cfg.backbone_pooling,
+            self.lora_spec)
 
         def loss_fn(params, batch_stats, pixels, y, rng):
             feats = backbone_feats(params, pixels)
@@ -381,7 +371,11 @@ class SingleTaskTrainer(BaseTrainer):
     # ------------ state handles ------------
     def model_state(self) -> dict:
         state = {"head": jax.tree.map(np.asarray, self.probe.head_state)}
-        if not self.use_feature_cache:
+        # A fully-frozen backbone (e.g. LoRA runs) is byte-identical to its
+        # init and reconstructible from model_id/seed — serializing the
+        # 300M-param tower into every checkpoint would only cost transfer
+        # and disk (the testers tolerate a blob without "backbone").
+        if not self.use_feature_cache and not self.probe.fully_frozen:
             state["backbone"] = jax.tree.map(
                 np.asarray, self.probe.backbone.params)
         if self.lora_spec:
