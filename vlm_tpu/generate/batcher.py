@@ -141,6 +141,13 @@ class ContinuousBatcher:
             "hist": jnp.full((b, self.max_new_tokens), self.pad_id,
                              jnp.int32),
             "step": jnp.zeros((), jnp.int32),
+            # Rotating decode window (see _decode_chunk_impl): dstep counts
+            # CHUNK steps only (not admissions); acol[i] = dstep mod W at
+            # slot i's admission; pcol = the run's batch-constant prompt
+            # length (the window starts right after the prompt rows).
+            "dstep": jnp.zeros((), jnp.int32),
+            "acol": jnp.zeros((b,), jnp.int32),
+            "pcol": jnp.zeros((), jnp.int32),
         }
         if self.temperature > 0.0:
             state["rng"] = rng if rng is not None else \
@@ -195,6 +202,14 @@ class ContinuousBatcher:
             "act": state["act"].at[slots].set(act_new),
             "hist": hist,
             "step": state["step"] + 1,
+            # Admission does not advance dstep, so every group admitted in
+            # one cycle shares the window origin of the next chunk's first
+            # step — preserving the invariant dstep - acol ≡ gcnt - 1
+            # (mod W) for active slots.
+            "dstep": state["dstep"],
+            "acol": state["acol"].at[slots].set(
+                jnp.mod(state["dstep"], self.max_new_tokens)),
+            "pcol": prompt_len[0].astype(jnp.int32),
         }
         if "rng" in state:
             new_state["rng"] = state["rng"]
@@ -212,8 +227,26 @@ class ContinuousBatcher:
         n_new = self.max_new_tokens
         caps = state["caps"]
         base_step = state["step"]
+        base_dstep = state["dstep"]
+        pcol = state["pcol"]
+        acol = state["acol"]
         rng = state.get("rng")
         col = jnp.arange(n_new, dtype=jnp.int32)[None, :]       # [1, n_new]
+        # Rotating decode window: at chunk step t (= dstep), EVERY slot
+        # writes its new KV row at cache column pcol + (t mod W) — a
+        # scalar-offset slice update, not a per-slot scatter (the Pallas
+        # scatter kernel's B-program grid measured 3.3 ms/step at B=128 on
+        # 3B; the uniform write is 1.3 ms). Slot i's live rows are
+        # reconstructed in the attention mask: its j-th generated token
+        # (j = 0 .. gcnt-1) sits at column pcol + ((acol_i + j) mod W),
+        # because active slots decode once per chunk step
+        # (dstep - acol_i ≡ gcnt_i - 1 mod W) and each column a slot can
+        # reach was freshly written after its admission (every step writes
+        # ALL rows, active or not, so stale rows from previous occupants
+        # are always overwritten before the mask can reach them). Column
+        # order is invisible to softmax; RoPE positions still come from
+        # slen, so tokens are bit-identical to the per-slot-scatter layout.
+        cache_cols = jnp.arange(self.cache_len, dtype=jnp.int32)[None, :]
 
         def free(act):
             return b - jnp.sum(act.astype(jnp.int32))
@@ -224,8 +257,13 @@ class ContinuousBatcher:
 
         def body(carry):
             k, cur, slen, gcnt, act, hist, cache = carry
+            wcol = pcol + jnp.mod(base_dstep + k, n_new)
+            j = jnp.mod(cache_cols - pcol - acol[:, None], n_new)
+            valid = (cache_cols < pcol) | (
+                (cache_cols < pcol + n_new) & (j < gcnt[:, None]))
             logits, cache = self.module.apply(
-                params, cur[:, None], slen, cache, method="decode_step")
+                params, cur[:, None], slen, cache, method="decode_step",
+                write_col=wcol, kv_valid=valid)
             nxt = self._sample(logits, rng, base_step + k)
             nxt = jnp.where(act, nxt, self.pad_id)
             # Dense masked write of token #gcnt per active slot (a scatter
@@ -244,7 +282,8 @@ class ContinuousBatcher:
         k, cur, slen, gcnt, act, hist, cache = jax.lax.while_loop(
             cond, body, carry)
         new_state = {"cur": cur, "slen": slen, "gcnt": gcnt, "caps": caps,
-                     "act": act, "hist": hist, "step": base_step + k}
+                     "act": act, "hist": hist, "step": base_step + k,
+                     "dstep": base_dstep + k, "acol": acol, "pcol": pcol}
         if rng is not None:
             new_state["rng"] = rng
         packed = jnp.concatenate(

@@ -195,7 +195,7 @@ class DecoderAttention(nn.Module):
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
                  kv_len=None, causal=True, prefix_len=None,
-                 uniform_write=False):
+                 uniform_write=False, kv_valid=None):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -250,8 +250,8 @@ class DecoderAttention(nn.Module):
         # prefill uses the fused Pallas kernel incl. kv_len masking.
         o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
                       v_att.astype(self.dtype), causal=att_causal,
-                      kv_len=att_kv_len, prefix_len=prefix_len,
-                      kv_layout=kv_layout,
+                      kv_len=att_kv_len, kv_valid=kv_valid,
+                      prefix_len=prefix_len, kv_layout=kv_layout,
                       impl="xla" if s == 1 else self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
@@ -290,7 +290,7 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
                  kv_len=None, causal=True, prefix_len=None,
-                 uniform_write=False):
+                 uniform_write=False, kv_valid=None):
         cfg = self.cfg
         if cfg.norm == "rmsnorm":
             mk_norm = lambda name: RMSNorm(eps=cfg.norm_eps,
@@ -305,7 +305,8 @@ class DecoderBlock(nn.Module):
             cfg, self.dtype, self.param_dtype, self.attn_impl,
             self.quant_bits, name="attn")(
                 mk_norm("input_norm")(x), positions, rope, cache_kv,
-                write_start, kv_len, causal, prefix_len, uniform_write)
+                write_start, kv_len, causal, prefix_len, uniform_write,
+                kv_valid)
         x = x + h
         x = x + DecoderMLP(cfg, self.dtype, self.param_dtype,
                            self.quant_bits, name="mlp")(
@@ -380,7 +381,8 @@ class Decoder(nn.Module):
                  causal: bool = True,
                  prefix_len: Optional[jax.Array] = None,
                  logits_index: Optional[jax.Array] = None,
-                 uniform_write: bool = False):
+                 uniform_write: bool = False,
+                 kv_valid: Optional[jax.Array] = None):
         """``prefix_len`` [B]: prefix-LM masking — the first prefix_len
         positions attend bidirectionally, the rest causally.
         ``logits_index`` [B]: compute logits only at these positions
@@ -410,7 +412,7 @@ class Decoder(nn.Module):
                 cache_kv = (cache["k"][i], cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
                                write_start, kv_len, causal, prefix_len,
-                               uniform_write)
+                               uniform_write, kv_valid)
             if cache is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])

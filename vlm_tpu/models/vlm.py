@@ -152,7 +152,9 @@ class VLMModule(nn.Module):
 
     def decode_step(self, token_ids: jax.Array, seq_len: jax.Array,
                     cache: Dict[str, jax.Array],
-                    uniform_write: bool = False):
+                    uniform_write: bool = False,
+                    write_col: Optional[jax.Array] = None,
+                    kv_valid: Optional[jax.Array] = None):
         """One token per sequence. ``token_ids`` [B,1]; ``seq_len`` [B] is the
         current length (the new token's position). Returns
         (logits [B, V], cache).
@@ -160,12 +162,29 @@ class VLMModule(nn.Module):
         ``uniform_write=True`` (static) promises every sequence is at the
         same position (wave decoding over a batch-constant prompt): the KV
         write becomes a scalar-offset slice update instead of a full-cache
-        masked stream (~1 ms/step on 3B)."""
+        masked stream (~1 ms/step on 3B).
+
+        ``write_col`` (scalar) + ``kv_valid`` [B, cache_len]: the continuous
+        batcher's rotating decode window — every slot writes its new row at
+        the SAME cache column (a scalar-offset slice update even though
+        slots are at different sequence positions), and ``kv_valid`` marks
+        each slot's live rows (prompt + its modular token window). RoPE/
+        learned positions still come from ``seq_len``, so the math is
+        identical to the per-slot-scatter layout — only the cache column
+        order differs, which softmax cannot see."""
         positions = seq_len[:, None]
+        if write_col is not None:
+            write_start = jnp.broadcast_to(write_col[None],
+                                           seq_len.shape).astype(jnp.int32)
+        else:
+            write_start = seq_len
         logits, cache = self.decoder(
             input_ids=token_ids, positions=positions, cache=cache,
-            write_start=seq_len, kv_len=seq_len + 1, causal=False,
-            uniform_write=uniform_write)
+            write_start=write_start,
+            kv_len=None if kv_valid is not None else seq_len + 1,
+            causal=False,
+            uniform_write=uniform_write or write_col is not None,
+            kv_valid=kv_valid)
         return logits[:, 0], cache
 
 

@@ -33,6 +33,7 @@ NEG_INF = -1e30
 
 def _xla_attention(q, k, v, *, causal: bool, scale: float,
                    kv_len: Optional[jax.Array] = None,
+                   kv_valid: Optional[jax.Array] = None,
                    bias: Optional[jax.Array] = None,
                    prefix_len: Optional[jax.Array] = None,
                    kv_layout: str = "bhsd") -> jax.Array:
@@ -72,6 +73,11 @@ def _xla_attention(q, k, v, *, causal: bool, scale: float,
         ki = jax.lax.broadcasted_iota(jnp.int32, (sk,), 0)
         mask = ki[None, :] < kv_len[:, None]                  # [B, Sk]
         s = jnp.where(mask[:, None, None, None, :], s, NEG_INF)
+    if kv_valid is not None:
+        # Arbitrary per-(batch, key) validity [B, Sk] — the continuous
+        # batcher's rotating decode window is non-contiguous in the cache,
+        # so a prefix length cannot express it.
+        s = jnp.where(kv_valid[:, None, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     out = jnp.einsum(f"bngqk,{k_eq}->bngqd", p, v)
     return out.reshape(b, h, sq, d)
@@ -206,6 +212,7 @@ _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False,
               kv_len: Optional[jax.Array] = None,
+              kv_valid: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,
               prefix_len: Optional[jax.Array] = None,
               kv_layout: str = "bhsd",
@@ -225,20 +232,20 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         use_flash = (on_tpu and bias is None and prefix_len is None
-                     and kv_layout == "bhsd"
+                     and kv_valid is None and kv_layout == "bhsd"
                      and q.shape[-1] in (64, 128, 256))
         impl = "flash" if use_flash else "xla"
     if impl == "flash":
         if bias is not None or prefix_len is not None or \
-                kv_layout != "bhsd":
+                kv_valid is not None or kv_layout != "bhsd":
             raise ValueError(
                 "flash impl does not support additive bias / prefix masks / "
-                "bshd kv layout")
+                "kv_valid masks / bshd kv layout")
         if kv_len is None:
             # differentiable: fused forward + XLA-derived backward
             return _flash_attention_diff(q, k, v, causal, q.shape[1])
         return _flash_attention(q, k, v, kv_len, causal=causal,
                                 heads=q.shape[1])
     return _xla_attention(q, k, v, causal=causal, scale=scale,
-                          kv_len=kv_len, bias=bias, prefix_len=prefix_len,
-                          kv_layout=kv_layout)
+                          kv_len=kv_len, kv_valid=kv_valid, bias=bias,
+                          prefix_len=prefix_len, kv_layout=kv_layout)
