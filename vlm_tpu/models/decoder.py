@@ -150,10 +150,30 @@ def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
     quantized = isinstance(ck, QuantizedKV)
     if quantized:
         qk, qv = quantize_kv_rows(k), quantize_kv_rows(v)
+    from ..ops._compat import pallas_interpret
+    from ..ops.kvcache import (kv_masked_write, kv_scatter_write,
+                               kv_uniform_write)
     if uniform:
         zero = jnp.zeros((), jnp.int32)
         off = (zero, start[0].astype(jnp.int32), zero, zero)
         dus = jax.lax.dynamic_update_slice
+        on_tpu = (jax.devices()[0].platform == "tpu" or pallas_interpret())
+        kvh = k.shape[2]
+        if k.shape[1] == 1 and on_tpu and kvh > 1:
+            # Single-row MHA/GQA decode write: the one-program Pallas
+            # kernel pins the cache's default layout across the jit
+            # boundary — a plain dus lets XLA relayout-copy every donated
+            # cache argument (4.95 GB of HLO temps on LLaVA-7B at 12
+            # slots → OOM; see kv_uniform_write). MQA (kvh == 1) stays on
+            # dus: its cache is ~1/heads the size, the relayout temp is
+            # ~1.2 GB at 3B/B=128 and amortizes to <0.1 ms/step, and the
+            # transposed layout XLA then picks makes the decode attention
+            # measurably faster (53.0 vs 50.3 img/s end-to-end).
+            if quantized:
+                q8k, q8v = kv_uniform_write(ck.q, cv.q, qk.q, qv.q, start)
+                return (QuantizedKV(q8k, dus(ck.scale, qk.scale, off)),
+                        QuantizedKV(q8v, dus(cv.scale, qv.scale, off)))
+            return kv_uniform_write(ck, cv, k, v, start)
         if quantized:
             return (QuantizedKV(dus(ck.q, qk.q, off),
                                 dus(ck.scale, qk.scale, off)),
@@ -161,8 +181,6 @@ def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
                                 dus(cv.scale, qv.scale, off)))
         return (dus(ck, k.astype(ck.dtype), off),
                 dus(cv, v.astype(cv.dtype), off))
-    from ..ops._compat import pallas_interpret
-    from ..ops.kvcache import kv_masked_write, kv_scatter_write
     if k.shape[1] == 1 and (jax.devices()[0].platform == "tpu"
                             or pallas_interpret()):
         if quantized:

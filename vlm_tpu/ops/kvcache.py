@@ -89,6 +89,55 @@ def kv_scatter_write(k_cache: jax.Array, v_cache: jax.Array,
     return _kv_scatter_write_tpu(k_cache, v_cache, k_new, v_new, start)
 
 
+def _kv_uniform_write_tpu(k_cache, v_cache, k_new, v_new, start):
+    b, _, h, d = k_cache.shape
+    s = k_new.shape[1]
+    new_spec = pl.BlockSpec((b, s, h, d), lambda i, st: (0, 0, 0, 0))
+    cache_spec = pl.BlockSpec((b, s, h, d),
+                              lambda i, st: (0, st[0] // s, 0, 0))
+    out = pl.pallas_call(
+        _write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=pallas_interpret(),
+    )(start, k_new, v_new, k_cache, v_cache)
+    return out[0], out[1]
+
+
+def kv_uniform_write(k_cache: jax.Array, v_cache: jax.Array,
+                     k_new: jax.Array, v_new: jax.Array,
+                     start: jax.Array):
+    """Write one new K/V row per sequence at the SAME row offset
+    ``start[0]`` for every sequence (the rotating decode window / wave
+    decode), in place, as a single one-program Pallas kernel.
+
+    Functionally identical to a scalar-offset ``dynamic_update_slice`` —
+    it exists because the dus leaves XLA free to pick a transposed layout
+    for the cache inside the decode-chunk jit, which then RELAYOUT-COPIES
+    every donated cache argument at the loop boundary (measured: 64 ×
+    78.8 MB HLO temps = 4.95 GB on LLaVA-7B at 12 slots → OOM). A Pallas
+    op touching the cache pins the default layout end-to-end, exactly as
+    the per-slot scatter kernel used to, while staying O(new) with ONE
+    program instead of a B-program grid.
+    """
+    if k_new.shape[1] != 1:
+        raise ValueError(
+            f"kv_uniform_write requires S == 1 (got S={k_new.shape[1]}); "
+            f"prefill-sized windows use dynamic_update_slice")
+    start = start.astype(jnp.int32)
+    k_new = k_new.astype(k_cache.dtype)
+    v_new = v_new.astype(v_cache.dtype)
+    return _kv_uniform_write_tpu(k_cache, v_cache, k_new, v_new,
+                                 start[:1])
+
+
 def kv_masked_write(cache_layer: jax.Array, new: jax.Array,
                     start: jax.Array) -> jax.Array:
     """XLA fallback: vectorized masked select over the length axis (streams
