@@ -217,3 +217,53 @@ class TestKVScatterWrite:
             np.testing.assert_allclose(
                 np.asarray(got_k[i, int(start[i]), :, :]),
                 np.asarray(k[i, 0]), rtol=0, atol=0)
+
+
+class TestKVUniformWrite:
+    """One-program Pallas uniform-column write == dynamic_update_slice
+    (the rotating decode window / MHA wave decode write path)."""
+
+    def _mk(self, b=5, max_len=16, h=2, d=128, seed=1):
+        rng = np.random.default_rng(seed)
+        ck = jnp.asarray(rng.normal(size=(b, max_len, h, d)), jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(b, max_len, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+        return ck, cv, k, v
+
+    def test_matches_dus_reference(self):
+        from vlm_tpu.ops.kvcache import kv_uniform_write
+        ck, cv, k, v = self._mk()
+        for col in (0, 7, 15):
+            start = jnp.full((ck.shape[0],), col, jnp.int32)
+            off = (0, col, 0, 0)
+            ref_k = jax.lax.dynamic_update_slice(ck, k, off)
+            ref_v = jax.lax.dynamic_update_slice(cv, v, off)
+            got_k, got_v = kv_uniform_write(ck, cv, k, v, start)
+            np.testing.assert_array_equal(np.asarray(got_k),
+                                          np.asarray(ref_k))
+            np.testing.assert_array_equal(np.asarray(got_v),
+                                          np.asarray(ref_v))
+
+    def test_bf16_under_jit(self):
+        from vlm_tpu.ops.kvcache import kv_uniform_write
+
+        @jax.jit
+        def step(ck, cv, k, v, start):
+            return kv_uniform_write(ck, cv, k, v, start)
+
+        ck, cv, k, v = self._mk(b=3, max_len=8, h=1, d=128, seed=2)
+        ck, cv = ck.astype(jnp.bfloat16), cv.astype(jnp.bfloat16)
+        start = jnp.full((3,), 5, jnp.int32)
+        got_k, _ = step(ck, cv, k, v, start)
+        assert got_k.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got_k[:, 5]), np.asarray(k[:, 0], np.float32)
+            .astype(jnp.bfloat16))
+
+    def test_multirow_raises(self):
+        from vlm_tpu.ops.kvcache import kv_uniform_write
+        ck, cv, _, _ = self._mk(b=2, max_len=8)
+        k2 = jnp.zeros((2, 2, 2, 128), jnp.float32)
+        with pytest.raises(ValueError, match="S == 1"):
+            kv_uniform_write(ck, cv, k2, k2, jnp.zeros((2,), jnp.int32))

@@ -168,7 +168,7 @@ def _write_kv(ck: jax.Array, cv: jax.Array, k: jax.Array, v: jax.Array,
             # dus: its cache is ~1/heads the size, the relayout temp is
             # ~1.2 GB at 3B/B=128 and amortizes to <0.1 ms/step, and the
             # transposed layout XLA then picks makes the decode attention
-            # measurably faster (53.0 vs 50.3 img/s end-to-end).
+            # measurably faster (53.8 vs 50.3 img/s end-to-end).
             if quantized:
                 q8k, q8v = kv_uniform_write(ck.q, cv.q, qk.q, qv.q, start)
                 return (QuantizedKV(q8k, dus(ck.scale, qk.scale, off)),

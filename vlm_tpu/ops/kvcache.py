@@ -38,32 +38,43 @@ def _write_kernel(start_ref, k_new_ref, v_new_ref, k_in_ref, v_in_ref,
     v_out_ref[:] = v_new_ref[:]
 
 
-def _kv_scatter_write_tpu(k_cache, v_cache, k_new, v_new, start):
-    b, _, h, d = k_cache.shape
-    s = k_new.shape[1]
-    # Block = the S new rows of one sequence. The output index_map points
-    # dim 1 at this sequence's write offset (block index == element index
-    # only because the block spans 1 unit of dim 1 per row; S>1 writes need
-    # start[i] % s == 0, which holds for the only S>1 caller: prefill at 0).
-    new_spec = pl.BlockSpec((1, s, h, d), lambda i, st: (i, 0, 0, 0))
-    cache_spec = pl.BlockSpec((1, s, h, d),
-                              lambda i, st: (i, st[i] // s, 0, 0))
+def _kv_write_call(k_cache, v_cache, k_new, v_new, start, *, grid,
+                   block_b, new_map, cache_map):
+    """Shared pallas_call scaffolding for the two in-place KV writers:
+    per-sequence scatter (grid=(B,), 1-row blocks) and uniform column
+    (grid=(1,), whole-batch block). Inputs: 0=start (scalar prefetch),
+    1=k_new, 2=v_new, 3=k_cache, 4=v_cache — the caches alias onto the
+    outputs (in-place)."""
+    s, h, d = k_new.shape[1], k_cache.shape[2], k_cache.shape[3]
+    new_spec = pl.BlockSpec((block_b, s, h, d), new_map)
+    cache_spec = pl.BlockSpec((block_b, s, h, d), cache_map)
     out = pl.pallas_call(
         _write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=grid,
             in_specs=[new_spec, new_spec, cache_spec, cache_spec],
             out_specs=[cache_spec, cache_spec],
         ),
         out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
                    jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
-        # inputs: 0=start (scalar prefetch), 1=k_new, 2=v_new, 3=k_cache,
-        # 4=v_cache — alias the caches onto the outputs (in-place).
         input_output_aliases={3: 0, 4: 1},
         interpret=pallas_interpret(),
     )(start, k_new, v_new, k_cache, v_cache)
     return out[0], out[1]
+
+
+def _kv_scatter_write_tpu(k_cache, v_cache, k_new, v_new, start):
+    b = k_cache.shape[0]
+    s = k_new.shape[1]
+    # Block = the S new rows of one sequence. The output index_map points
+    # dim 1 at this sequence's write offset (block index == element index
+    # only because the block spans 1 unit of dim 1 per row; S>1 writes need
+    # start[i] % s == 0, which holds for the only S>1 caller: prefill at 0).
+    return _kv_write_call(
+        k_cache, v_cache, k_new, v_new, start, grid=(b,), block_b=1,
+        new_map=lambda i, st: (i, 0, 0, 0),
+        cache_map=lambda i, st: (i, st[i] // s, 0, 0))
 
 
 def kv_scatter_write(k_cache: jax.Array, v_cache: jax.Array,
@@ -90,25 +101,12 @@ def kv_scatter_write(k_cache: jax.Array, v_cache: jax.Array,
 
 
 def _kv_uniform_write_tpu(k_cache, v_cache, k_new, v_new, start):
-    b, _, h, d = k_cache.shape
+    b = k_cache.shape[0]
     s = k_new.shape[1]
-    new_spec = pl.BlockSpec((b, s, h, d), lambda i, st: (0, 0, 0, 0))
-    cache_spec = pl.BlockSpec((b, s, h, d),
-                              lambda i, st: (0, st[0] // s, 0, 0))
-    out = pl.pallas_call(
-        _write_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
-            out_specs=[cache_spec, cache_spec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
-        input_output_aliases={3: 0, 4: 1},
-        interpret=pallas_interpret(),
-    )(start, k_new, v_new, k_cache, v_cache)
-    return out[0], out[1]
+    return _kv_write_call(
+        k_cache, v_cache, k_new, v_new, start, grid=(1,), block_b=b,
+        new_map=lambda i, st: (0, 0, 0, 0),
+        cache_map=lambda i, st: (0, st[0] // s, 0, 0))
 
 
 def kv_uniform_write(k_cache: jax.Array, v_cache: jax.Array,
