@@ -174,15 +174,21 @@ def quant_matmul_dynamic(x: jax.Array, qw: QuantizedWeight, *,
                          out_dtype=None,
                          use_pallas: bool | None = None) -> jax.Array:
     """llm.int8-style matmul: dynamic per-row int8 activations × int8
-    weights on the MXU (v5e int8 peak is 2x bf16). int8-weight mode only."""
+    weights on the MXU (v5e int8 peak is 2x bf16). int8-weight mode only.
+
+    Default path is XLA's NATIVE int8 dot — int8 operands passed straight
+    to ``dot_general`` with an int32 accumulator. Measured on v5e at the
+    3B prefill shapes (m=12928): 229/220 TFLOP/s on the k=2048→16384 /
+    k=16384→2048 MLP matmuls vs 144/132 for bf16 — the real 1.6x int8 MXU
+    win. The hand-written Pallas tile kernel reaches only 132/130 TFLOP/s
+    (slower than bf16: its one-shot [bm,K]x[K,bn] tiles can't pipeline the
+    weight stream the way XLA's k-tiled schedule does) and the old
+    ``.astype(int32)`` fallback upcast the operands before the dot, missing
+    the int8 MXU path entirely. ``use_pallas=True`` keeps the kernel
+    reachable for A/B."""
     assert qw.group_size == 0, "dynamic path requires int8 weights"
     out_dtype = out_dtype or x.dtype
     qx, sx = quantize_activations(x)
-    if use_pallas is None:
-        # Beyond K=16384 even the shrunken tiles overflow VMEM; fall back to
-        # the XLA int32 dot path.
-        use_pallas = (jax.devices()[0].platform == "tpu" and x.ndim == 2
-                      and x.shape[1] <= 16384)
     if use_pallas:
         # Shrink tiles for wide contractions so the double-buffered int8
         # operand tiles stay inside the ~16 MB VMEM budget.
@@ -192,8 +198,7 @@ def quant_matmul_dynamic(x: jax.Array, qw: QuantizedWeight, *,
             block_m=128 if wide else 256,
             block_n=256 if wide else 512,
             out_dtype=jnp.float32).astype(out_dtype)
-    acc = jax.lax.dot_general(qx.astype(jnp.int32), qw.q.astype(jnp.int32),
-                              (((1,), (0,)), ((), ())),
+    acc = jax.lax.dot_general(qx, qw.q, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * sx * qw.scale).astype(out_dtype)
 
