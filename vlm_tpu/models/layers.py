@@ -15,11 +15,14 @@ def _int8_prefill_mode() -> str:
     feeding a bf16 matmul) or "dynamic" (llm.int8 activation quantization +
     outlier decomposition on the int8 MXU). Read at trace time.
 
-    Measured end-to-end on v5e (3B-8bit, N=256, B=128, variable caps):
-    dequant prefill + XLA-dequant decode 48.2 img/s vs 41.4 for the dynamic
-    path — the activation-quant + outlier overhead exceeds the int8 MXU's
-    2x peak at these shapes, so prefill runs at bf16 speed on dequantized
-    weights while decode still streams int8."""
+    Measured on v5e with the XLA-native int8 dot (3B-8bit, B=128, g=32):
+    admission 13.5 ms/img dequant vs 10.3 dynamic_noout vs 13.7 dynamic —
+    the int8 MXU's 2x peak shows through once activations skip outlier
+    decomposition (end-to-end 56.6 vs 53.1 img/s median). The default
+    stays `dequant`: activations are never quantized, which is strictly
+    more accurate than llm.int8, and `dynamic` (exact bitsandbytes
+    semantics) now matches its speed; `dynamic_noout` is the documented
+    max-throughput mode (IMPLEMENTATION_NOTES.md round-3)."""
     import os
     mode = os.environ.get("VLM_TPU_INT8_PREFILL", "dequant").lower()
     if mode not in ("dequant", "dynamic", "dynamic_noout"):
