@@ -94,9 +94,20 @@ def main():
     log(f"[bench] model built in {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    imgs = [Image.fromarray(rng.integers(0, 255, (128, 96, 3),
-                                         dtype=np.uint8))
-            for _ in range(max(n_images, batch))]
+    # Images live on DISK and are decoded through the native C++ loader —
+    # exactly the product path (`VLMModel.generate_dataset`'s pixel_fn,
+    # models/base_model.py). The earlier in-memory PIL variant decoded on
+    # one thread and, after the round-3 prefill/decode wins, became the
+    # bottleneck: batcher stats showed 0.5-1.1 s of block_wait per 4.5 s
+    # run (prefetch could no longer hide single-threaded host decode).
+    import tempfile
+    img_dir = tempfile.mkdtemp(prefix="vlm_bench_imgs_")
+    img_paths = []
+    for i in range(max(n_images, batch)):
+        p = f"{img_dir}/img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (128, 96, 3),
+                                     dtype=np.uint8)).save(p, quality=92)
+        img_paths.append(p)
     # Variable-length workload: per-image caps model EOS-early generations
     # under the reference's max_tokens=100. VLM_TPU_BENCH_CAP_LO=100 pins
     # every cap to max_tokens (fixed-length workload — comparable to a
@@ -115,7 +126,7 @@ def main():
     from vlm_tpu.generate.batcher import ContinuousBatcher
     from vlm_tpu.generate.decode import build_prompt_ids
     from vlm_tpu.models.vlm import num_image_tokens
-    from vlm_tpu.ops.preprocess import host_batch, normalize_images
+    from vlm_tpu.ops.preprocess import normalize_images
     from vlm_tpu.utils.profiling import profile_trace
 
     pre_t, post_t, bos_pre, bos_post = model.format_prompt(MIVIA_PROMPT)
@@ -125,9 +136,11 @@ def main():
     plen_scalar = int(plen[0])
 
     def pixel_fn(idxs):
+        from vlm_tpu.data.native_loader import load_batch
+        batch_u8 = load_batch([img_paths[i % len(img_paths)] for i in idxs],
+                              model.recipe)
         return normalize_images(
-            jnp.asarray(host_batch([imgs[i % len(imgs)] for i in idxs],
-                                   model.recipe)),
+            jnp.asarray(batch_u8),
             recipe=model.recipe, compute_dtype=model.policy.compute_dtype)
 
     # ---------- sequential batch-1 baseline (reference loop structure) ----
@@ -231,6 +244,7 @@ def main():
     # ---------- optional: probing feature-extraction throughput ----------
     if os.environ.get("VLM_TPU_BENCH_PROBE", "0") == "1":
         bb = model.get_vision_backbone(cleanup=True)
+        imgs = [Image.open(p) for p in img_paths]
         feats = bb.forward(imgs[:batch])             # compile
         _ = np.asarray(feats)
         t0 = time.perf_counter()
