@@ -11,20 +11,25 @@ import jax.numpy as jnp
 
 
 def _int8_prefill_mode() -> str:
-    """int8 large-m dispatch: "dequant" (default — one-pass XLA dequant
-    feeding a bf16 matmul) or "dynamic" (llm.int8 activation quantization +
-    outlier decomposition on the int8 MXU). Read at trace time.
+    """int8 large-m dispatch: "dynamic" (default — llm.int8 activation
+    quantization + outlier decomposition on the int8 MXU, the exact scheme
+    the reference's ``load_in_8bit`` runs through bitsandbytes), "dequant"
+    (one-pass XLA dequant feeding a bf16 matmul — activations never
+    quantized, strictly MORE accurate than llm.int8), or "dynamic_noout"
+    (int8 MXU without outlier protection — fastest, least accurate). Read
+    at trace time.
 
-    Measured on v5e with the XLA-native int8 dot (3B-8bit, B=128, g=32):
-    admission 13.5 ms/img dequant vs 10.3 dynamic_noout vs 13.7 dynamic —
-    the int8 MXU's 2x peak shows through once activations skip outlier
-    decomposition (end-to-end 56.6 vs 53.1 img/s median). The default
-    stays `dequant`: activations are never quantized, which is strictly
-    more accurate than llm.int8, and `dynamic` (exact bitsandbytes
-    semantics) now matches its speed; `dynamic_noout` is the documented
-    max-throughput mode (IMPLEMENTATION_NOTES.md round-3)."""
+    Measured on v5e with the XLA-native int8 dot (end-to-end img/s,
+    dequant / dynamic / dynamic_noout): PaliGemma-3B B=128
+    53.1 / 52.2 / 56.6; BLIP-2 6.7B 48 slots 14.4 / 15.9 / 16.0;
+    LLaVA-7B 12 slots 6.4 / 7.2 / 7.6. ``dynamic`` became the default
+    when the int8 dot made it free-or-faster everywhere it matters: at
+    6.7/7B — where 8bit is the only way onto a 16 GB chip — it beats
+    dequant by 10-12% while keeping bitsandbytes-exact accuracy
+    semantics; at 3B (where bf16 is the recommended config anyway) the
+    two are within noise (IMPLEMENTATION_NOTES.md round-3)."""
     import os
-    mode = os.environ.get("VLM_TPU_INT8_PREFILL", "dequant").lower()
+    mode = os.environ.get("VLM_TPU_INT8_PREFILL", "dynamic").lower()
     if mode not in ("dequant", "dynamic", "dynamic_noout"):
         raise ValueError(
             f"VLM_TPU_INT8_PREFILL={mode!r}: expected "
@@ -166,35 +171,27 @@ class Dense(nn.Module):
             x2 = x.reshape(-1, in_dim).astype(self.dtype)
             if self.quant_bits == 8 and x2.shape[0] >= 512 and \
                     _int8_prefill_mode() == "dequant":
-                # int8 prefill via one-pass XLA dequant → bf16 MXU matmul:
-                # prefill runs at bf16 speed (the dynamic int8×int8 path's
-                # activation-quant + outlier overhead measured slower
-                # end-to-end at 3B), while decode below still streams int8
-                # weights. VLM_TPU_INT8_PREFILL=dynamic restores llm.int8
-                # activation quantization for the compute-bound regime.
+                # Max-accuracy int8 prefill: one-pass XLA dequant → bf16
+                # MXU matmul — activations never quantized, prefill runs at
+                # bf16 speed; decode below still streams int8 weights.
                 y = quant_matmul(x2, qw, out_dtype=self.dtype,
                                  use_pallas=False)
             elif self.quant_bits == 8 and x2.shape[0] >= 512 and \
                     _int8_prefill_mode() == "dynamic_noout":
-                # Pure int8×int8 MXU prefill without outlier decomposition:
-                # isolates the MXU's 2x int8 peak from the outlier path's
-                # top_k + gather + extra bf16 matmul + full-activation mask
-                # pass (A/B knob for the compute-bound regime; accuracy
-                # impact of skipping outliers is the reason "dynamic" keeps
-                # decomposition).
+                # Max-throughput int8 prefill: pure int8×int8 MXU without
+                # outlier decomposition — the full 2x int8 peak, below
+                # llm.int8 accuracy (no outlier protection).
                 from ..ops.quant import quant_matmul_dynamic
                 y = quant_matmul_dynamic(x2, qw, out_dtype=self.dtype)
             elif self.quant_bits == 8 and x2.shape[0] >= 512:
-                # Compute-bound regime (prefill, m = group×seq_len in the
-                # thousands): llm.int8-style dynamic activation quantization
-                # → int8×int8 MXU (2x bf16 peak), with outlier decomposition
-                # — the highest-|x| input columns bypass int8 in bf16,
-                # exactly where bitsandbytes applies it (activation outliers
-                # wreck per-row scales; weight-only decode below never
-                # quantizes activations). Measured on v5e: the dynamic path
-                # LOSES in decode-size shapes (48.9 → 34.1 img/s device-only
-                # on 3B at B=32; still losing at B=128), so decode — m =
-                # batch, ≤ a few hundred — keeps the bf16-dequant kernel.
+                # Default ("dynamic"): llm.int8 — per-row int8 activation
+                # quantization → XLA-native int8×int8 MXU dot, with outlier
+                # decomposition (the highest-|x| input columns bypass int8
+                # in bf16, exactly where bitsandbytes applies it — the
+                # reference's load_in_8bit semantics). Decode (m = batch,
+                # ≤ a few hundred) keeps the weight-only dequant stream
+                # below: dynamic quantization measured slower at decode
+                # shapes and would quantize activations for no stream win.
                 from ..ops.quant import quant_matmul_outlier
                 y = quant_matmul_outlier(x2, qw, n_outliers=self.int8_outliers,
                                          out_dtype=self.dtype)
