@@ -154,6 +154,23 @@ class TestDynamicInt8:
         b = quant.quant_matmul_dynamic(x, qw, use_pallas=True)
         assert float(jnp.abs(a - b).max()) < 1e-4
 
+    def test_native_int8_dot_is_exact(self):
+        # The default path feeds int8 operands straight to dot_general
+        # (int32 accumulator, the MXU's native int8 mode). int8xint8
+        # products summed over K=4096 stay far inside int32, so the
+        # accumulation must be bit-exact vs an explicit int32 upcast.
+        qx = jax.random.randint(jax.random.key(0), (64, 4096), -127, 128,
+                                dtype=jnp.int32).astype(jnp.int8)
+        qw = jax.random.randint(jax.random.key(1), (4096, 96), -127, 128,
+                                dtype=jnp.int32).astype(jnp.int8)
+        fast = jax.lax.dot_general(qx, qw, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        ref = jax.lax.dot_general(qx.astype(jnp.int32),
+                                  qw.astype(jnp.int32),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        assert bool(jnp.all(fast == ref))
+
     def test_8bit_model_uses_dynamic_path_in_prefill(self):
         # structural check: a big-batch forward through a quantized Dense
         # routes to the dynamic kernel without error
