@@ -133,6 +133,29 @@ def main():
     pre_ids, post_ids, plen = build_prompt_ids(
         model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), batch,
         add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+    # VLM_TPU_BENCH_PROMPT_IDS=n replaces the text halves with n arbitrary
+    # ids (same pre/post split ratio, same BOS structure). The default
+    # byte-fallback tokenizer emits ~1 id/char (~230 text ids for this
+    # prompt) where a real SentencePiece/BPE model emits ~60 — prefill cost
+    # scales with ids, so the default overstates it (worst for BLIP-2:
+    # a ~1030-id wrapped prompt vs ~290 real → its OPT-6.7B prefill
+    # triples). This knob measures the realistic-tokenization workload;
+    # results are recorded as a labeled variant, never the headline.
+    want_ids = int(os.environ.get("VLM_TPU_BENCH_PROMPT_IDS", "0"))
+    if want_ids > 0:
+        n_pre, n_post = pre_ids.shape[1], post_ids.shape[1]
+        n_text = n_pre + n_post
+        k_pre = round(want_ids * (n_pre / max(1, n_text)))
+        k_post = max(0, want_ids - k_pre)
+        import jax.numpy as _jnp
+        mk = lambda k, seed: _jnp.asarray(
+            np.random.default_rng(seed).integers(
+                1000, 2000, size=(batch, k)), _jnp.int32)
+        pre_ids, post_ids = mk(k_pre, 1), mk(k_post, 2)
+        plen = _jnp.full((batch,), k_pre + num_image_tokens(model.cfg)
+                         + k_post, _jnp.int32)
+        log(f"[bench] prompt-ids override: text {n_text} -> {want_ids} ids "
+            f"(merged prompt {int(plen[0])})")
     plen_scalar = int(plen[0])
 
     def pixel_fn(idxs):

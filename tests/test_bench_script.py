@@ -13,7 +13,10 @@ from tests.conftest import REPO_ROOT
 pytestmark = pytest.mark.slow
 
 
-def test_bench_emits_one_json_line():
+@pytest.mark.parametrize("prompt_ids", ["0", "12"])
+def test_bench_emits_one_json_line(prompt_ids):
+    # prompt_ids="12" exercises the realistic-tokenization variant
+    # (VLM_TPU_BENCH_PROMPT_IDS replaces the text halves with n ids).
     env = dict(os.environ)
     env.update({
         "VLM_TPU_PLATFORM": "cpu",
@@ -23,6 +26,7 @@ def test_bench_emits_one_json_line():
         "VLM_TPU_BENCH_BATCH": "2",
         "VLM_TPU_BENCH_TOKENS": "3",
         "VLM_TPU_BENCH_SEQ_N": "0",
+        "VLM_TPU_BENCH_PROMPT_IDS": prompt_ids,
     })
     res = subprocess.run([sys.executable, str(REPO_ROOT / "bench.py")],
                          capture_output=True, text=True, timeout=420,
