@@ -36,6 +36,9 @@ VLM_TPU_BENCH_N (measured images, default 512; batch-fill ramp and drain amortiz
 VLM_TPU_BENCH_BATCH (default 128), VLM_TPU_BENCH_TOKENS (max cap, default 100),
 VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
 VLM_TPU_BENCH_WAVE=0 skips the wave comparison,
+VLM_TPU_BENCH_PROMPT_IDS=n replaces the text prompt halves with n ids
+(realistic-tokenization variant — the byte-fallback tokenizer inflates
+text ids ~2.7x vs a real SentencePiece/BPE model),
 VLM_TPU_PROFILE_DIR (write a jax.profiler trace of the continuous phase).
 """
 
