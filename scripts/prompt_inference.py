@@ -71,6 +71,11 @@ def main():
         # config-surface alias for the engine-level opt-in (the model
         # object reads the env when building its engines)
         os.environ["VLM_TPU_KV_CACHE"] = "int8"
+    if cfg.get("int8_prefill"):
+        # config-surface alias for the int8 prefill point on the
+        # accuracy/speed curve (dequant | dynamic | dynamic_noout);
+        # validated at trace time by models.layers._int8_prefill_mode
+        os.environ["VLM_TPU_INT8_PREFILL"] = str(cfg["int8_prefill"]).lower()
     model = VLMModelFactory.create_model(
         model_name, model_id=cfg.get("model_id"), quantization=quantization,
         size=cfg.get("model_size"), mesh=cfg.get("mesh"),

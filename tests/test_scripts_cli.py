@@ -55,6 +55,9 @@ class TestPromptInferenceCLI:
             "max_tokens": 6, "batch_size": 2,
             "dataset": {"base_path": str(base)},
             "prompts": {"MiviaPar": "attributes?"},
+            # config-surface alias for VLM_TPU_INT8_PREFILL — inert at
+            # fp32, but the key must parse and round-trip the script
+            "int8_prefill": "dequant",
         }
         p = root / "pi.yaml"
         p.write_text(yaml.safe_dump(cfg))
