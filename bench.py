@@ -172,9 +172,11 @@ def main():
     # ---------- sequential batch-1 baseline (reference loop structure) ----
     seq_ips = 0.0
     if n_seq > 0:
-        pre1, post1, plen1 = build_prompt_ids(
-            model.tokenizer, pre_t, post_t, num_image_tokens(model.cfg), 1,
-            add_bos_to_pre=bos_pre, add_bos_to_post=bos_post)
+        # First rows of the (batch-constant) prompt arrays — ALWAYS the
+        # same prompt the headline runs, including a PROMPT_IDS override
+        # (rebuilding from text here would compare the override workload
+        # against a byte-fallback-length baseline).
+        pre1, post1, plen1 = pre_ids[:1], post_ids[:1], plen[:1]
         eng1 = model._engine(1, int(plen1[0]), max_tokens)
         r = eng1.generate(model.params, pixel_fn([0]), pre1, post1, plen1,
                           max_new_per_seq=jnp.asarray(caps[:1]))
@@ -273,14 +275,20 @@ def main():
     # ---------- optional: probing feature-extraction throughput ----------
     if os.environ.get("VLM_TPU_BENCH_PROBE", "0") == "1":
         bb = model.get_vision_backbone(cleanup=True)
-        imgs = [Image.open(p) for p in img_paths]
-        feats = bb.forward(imgs[:batch])             # compile
+
+        def open_window(start):
+            # Open per-window: holding every image's fd at once would hit
+            # the ulimit at large VLM_TPU_BENCH_N (PIL keeps fds open).
+            sl = img_paths[start:start + batch]
+            return [Image.open(p) for p in sl]
+
+        feats = bb.forward(open_window(0))           # compile
         _ = np.asarray(feats)
         t0 = time.perf_counter()
         done = 0
         while done < n_images:
-            start = done % max(1, len(imgs) - batch + 1)  # rotate, full size
-            _ = np.asarray(bb.forward(imgs[start:start + batch]))
+            start = done % max(1, len(img_paths) - batch + 1)  # rotate
+            _ = np.asarray(bb.forward(open_window(start)))
             done += batch
         log(f"[bench] probing feature extraction (B={batch}): "
             f"{done / (time.perf_counter() - t0):.1f} img/s")

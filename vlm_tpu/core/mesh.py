@@ -85,6 +85,13 @@ def mesh_from_config(spec) -> Optional[Mesh]:
         return spec if spec.size > 1 else None
     if not isinstance(spec, dict):
         raise TypeError(f"mesh config must be a dict or Mesh, got {spec!r}")
+    unknown = set(spec) - {"data", "model"}
+    if unknown:
+        # A typo'd axis name ("modle: 4") would otherwise silently fall
+        # back to its default and run without the intended parallelism.
+        raise ValueError(
+            f"unknown mesh config key(s) {sorted(unknown)}; "
+            "expected only 'data' and 'model'")
     data = int(spec.get("data", -1) if spec.get("data") is not None else -1)
     model = int(spec.get("model") if spec.get("model") is not None else 1)
     n = len(jax.devices())

@@ -200,6 +200,10 @@ class PrecompiledCharsMap:
                 break
             node_pos ^= self._offset(unit)
             if (unit >> 8) & 1:            # has_leaf
+                if node_pos >= n:          # truncated/corrupt blob: the
+                    break                  # leaf offset points past the
+                                           # units array (same guard as
+                                           # the label read above)
                 best = (i - start + 1, units[node_pos] & 0x7FFFFFFF)
         return best
 

@@ -153,7 +153,7 @@ def resolve_lora(mcfg: dict, backbone, seed: int):
             f"(={spec['attn_only']}) against the tower's layer count")
     params = init_lora(backbone.params, targets, spec["rank"],
                        jax.random.fold_in(jax.random.key(seed), 7))
-    print(f"[Trainer] LoRA enabled: rank {spec['rank']}, "
+    print(f"[LoRA] enabled: rank {spec['rank']}, "
           f"alpha {spec['alpha']}, {len(targets)} target layers")
     return spec, params
 

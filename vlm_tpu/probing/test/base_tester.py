@@ -30,18 +30,19 @@ class BaseTester:
 
     def _apply_lora(self, probe, model_blob: dict, lora_cfg):
         """Merge trained LoRA adapters (if the run used them) into the
-        backbone params once — inference then runs at base-model speed."""
-        import jax
+        backbone params once — inference then runs at base-model speed.
+
+        The adapter TREE TEMPLATE comes from the same ``resolve_lora``
+        the trainers use (single home for spec-parse/enumerate/init, so
+        shapes cannot drift); its values are then replaced wholesale by
+        the checkpoint blob."""
         from flax import serialization
 
-        from ..lora import init_lora, lora_spec, merge_lora
-        spec = lora_spec(lora_cfg)
+        from ..lora import merge_lora, resolve_lora
+        spec, lora = resolve_lora({"lora": lora_cfg}, probe.backbone,
+                                  seed=0)
         if not spec:
             return
-        targets = probe.backbone.get_lora_target_names(
-            {"last_k": spec["last_k"], "attn_only": spec["attn_only"]})
-        lora = init_lora(probe.backbone.params, targets, spec["rank"],
-                         jax.random.key(0))
         if "lora" not in model_blob:
             raise KeyError("head_config declares LoRA but the checkpoint "
                            "blob has no 'lora' entry")
