@@ -25,7 +25,9 @@ def test_bench_emits_one_json_line(prompt_ids):
         "VLM_TPU_BENCH_N": "4",
         "VLM_TPU_BENCH_BATCH": "2",
         "VLM_TPU_BENCH_TOKENS": "3",
-        "VLM_TPU_BENCH_SEQ_N": "0",
+        # the override variant also exercises the sequential baseline so
+        # the batch-1 engine runs on the SAME overridden prompt rows
+        "VLM_TPU_BENCH_SEQ_N": "0" if prompt_ids == "0" else "1",
         "VLM_TPU_BENCH_PROMPT_IDS": prompt_ids,
     })
     res = subprocess.run([sys.executable, str(REPO_ROOT / "bench.py")],
