@@ -163,18 +163,27 @@ class ContinuousBatcher:
         slots = slot_caps[0]
         caps_new = slot_caps[1]
         g = pixels.shape[0]
-        group_cache = init_kv_cache(self.cfg.decoder, g, self.cache_len,
+        # The group cache only ever holds PROMPT rows (prefill writes at
+        # columns [0, max_prompt_len)); allocating it cache_len deep — and
+        # streaming those provably-zero decode-window columns through the
+        # scatter — was ~(max_new/cache_len) wasted traffic per admission.
+        group_cache = init_kv_cache(self.cfg.decoder, g, self.max_prompt_len,
                                     self.cache_dtype)
         last, group_cache = self.module.apply(
             params, pixels, pre_ids, post_ids, group_cache, prompt_len,
             method="prefill")
 
         def scatter_one(full, part):
-            # full: [B, S, ...]; part: [g, S, ...]
+            # full: [B, cache_len, ...]; part: [g, max_prompt_len, ...] —
+            # each slot's prompt rows land at columns [0, max_prompt_len)
+            # of its cache row (the decode window behind them is validated
+            # only after fresh writes, so it needs no clearing).
+            zeros = (jnp.zeros((), jnp.int32),) * (part.ndim - 1)
+
             def write(i, acc):
                 sl = jax.lax.dynamic_slice_in_dim(part, i, 1, axis=0)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    acc, sl, slots[i], axis=0)
+                return jax.lax.dynamic_update_slice(
+                    acc, sl, (slots[i],) + zeros)
             return jax.lax.fori_loop(0, g, write, full)
 
         def scatter_layer(full_l, part_l):

@@ -241,6 +241,13 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             raise ValueError(
                 "flash impl does not support additive bias / prefix masks / "
                 "kv_valid masks / bshd kv layout")
+        if q.shape[-1] not in (64, 128, 256):
+            # the same gate the auto path applies — an explicit "flash"
+            # with an unsupported head_dim would otherwise surface as an
+            # opaque Mosaic lowering error
+            raise ValueError(
+                f"flash impl supports head_dim in (64, 128, 256), "
+                f"got {q.shape[-1]}")
         if kv_len is None:
             # differentiable: fused forward + XLA-derived backward
             return _flash_attention_diff(q, k, v, causal, q.shape[1])
