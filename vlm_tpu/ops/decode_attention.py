@@ -1,0 +1,279 @@
+"""Fused Pallas decode-step attention over the (optionally int8) KV cache.
+
+The decode step's attention is the KV-cache stream: one query row per slot
+against the whole cache. The XLA bshd path (`ops/attention._xla_attention`)
+runs it as a batched matvec and measures ~2.5x its HBM stream floor at MHA
+decode shapes (B=64, S=1130, H=32, D=128: 1.77 ms vs a 0.72 ms int8-cache
+floor) — the 1-row query under-utilizes the MXU and the cache rows arrive
+head-strided. This kernel restores the speed-of-light schedule:
+
+- **Contiguous cache DMA.** The cache keeps its pinned, write-friendly
+  ``[B, S, KV, D]`` layout (see `models/decoder.kv_uniform_write`) and is
+  viewed as ``[B, S, F=KV*D]`` (a free trailing-dims collapse), so each
+  grid step streams one fully contiguous ``[Sb, F]`` slab per batch row —
+  1 MB DMAs at Sb=256, F=4096, int8.
+- **Block-diagonal query trick.** Per-head matvecs become ONE MXU matmul:
+  q ``[H, D]`` is expanded (outside the kernel, in XLA — B·F·H bf16 is
+  <0.3% of the cache stream) to a block-diagonal ``[F, H]`` operand with
+  q[h] placed in its KV-head's D-block, so
+  ``scores[s, h] = k_slab[s] @ q_bd[:, h]`` computes every head at once.
+  The (KV x) wasted MACs are free — at B=64/S=1130 the MXU is busy
+  ~0.44 ms while the int8 DMA floor is 0.72 ms: the kernel is
+  bandwidth-bound, which is the point. MQA degenerates to the exact
+  matmul (F = D, no waste); the 3B MQA decoder stays on the XLA path
+  anyway because XLA picks a faster transposed cache layout there.
+- **Streaming softmax over S-tiles** (flash-decode): running per-head
+  max / denominator / accumulator in VMEM scratch; one HBM pass over the
+  cache. The accumulator is kept ``[F, H]`` (not ``[H, F]``) so every
+  flash rescale broadcasts a ``[1, H]`` row across sublanes — Mosaic has
+  no lane->sublane transpose for the ``[1, H] -> [H, 1]`` the transposed
+  layout would need ("Not implemented: Lane broadcast").
+- **int8 cache enters as int8.** The dequant scales ride the scores and
+  probabilities (``q.(k8*s) == (q.k8)*s``; see `ops/attention` docstring)
+  so the cache is cast int8->bf16 only inside VMEM — the HBM stream is
+  genuinely halved, unlike the pre-cast XLA path.
+- **Masks in-kernel**: per-slot valid length (``kv_len``, scalar-prefetch)
+  and the continuous batcher's non-contiguous rotating-window validity
+  (``kv_valid``, pre-repeated to lane width so no in-kernel lane
+  broadcast is needed).
+
+The per-head output lands in the accumulator's own KV-block of ``[F, H]``;
+the caller extracts each head's block outside the kernel (a one-hot einsum
+over a [B, KV, D, H] view — ~3% extra HBM traffic at MHA shapes, nothing
+at MQA shapes where F == D).
+
+Reference parity target: `ops/attention._xla_attention` with
+``kv_layout="bshd"`` (the reference itself delegates decode attention to
+HF/torch CUDA internals, `/root/reference/models/base_model.py:69`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ._compat import pallas_interpret
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(kvl_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, kvv_ref,
+                   o_ref, acc_scr, m_scr, l_scr, *,
+                   s_total: int, s_tile: int,
+                   has_scales: bool, has_valid: bool, ragged: bool):
+    """One (batch, s_tile) program. Grid iterates s-tiles innermost, so the
+    VMEM scratch carries the flash-decode running state across tiles of the
+    same batch row. Layout rule: all running state is [1, H] / [F, H] so
+    every broadcast runs along sublanes (no lane->sublane relayouts)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    h = qbd_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    kb = k_ref[0].astype(jnp.bfloat16)                          # [Sb, F]
+    # head_dim**-0.5 is pre-folded into qbd by the caller.
+    s = jax.lax.dot_general(
+        kb, qbd_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [Sb, H]
+    if has_scales:
+        s = s * ks_ref[0]                                       # [Sb, H]
+
+    # Masking. The two i1 masks are applied as SEPARATE selects: the iota
+    # compare yields a lane-replicated i1 layout while the loaded kv_valid
+    # mask is lane-distributed, and Mosaic cannot relayout between them
+    # ("Invalid relayout ... vector<...xi1>"); combining them via
+    # logical_and forces exactly that relayout.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s_tile, h), 0) + j * s_tile
+    s = jnp.where(rows < jnp.minimum(s_total, kvl_ref[b]), s, NEG_INF)
+    if has_valid:
+        s = jnp.where(kvv_ref[0] != 0, s, NEG_INF)
+
+    # Streaming softmax update (per head column).
+    m_new = jnp.maximum(m_scr[:], jnp.max(s, axis=0, keepdims=True))
+    corr = jnp.exp(m_scr[:] - m_new)                            # [1, H]
+    p = jnp.exp(s - m_new)                                      # [Sb, H]
+    # Fully-masked tiles produce p rows of exp(NEG_INF - NEG_INF) = 1;
+    # zero them so they contribute nothing to l/acc. The predicate reads
+    # the masked scores themselves (real scores are O(10), never near
+    # NEG_INF) so its i1 layout matches, avoiding mask-mixing relayouts.
+    live = s > (NEG_INF * 0.5)                                  # [Sb, H]
+    p = jnp.where(live, p, 0.0)
+    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=0, keepdims=True)
+    m_scr[:] = m_new
+    if has_scales:
+        vs = vs_ref[0]                                          # [Sb, H]
+        if ragged:
+            # Out-of-bounds block rows hold undefined values (NaN in
+            # interpret mode); 0-probability x NaN-scale would still NaN.
+            vs = jnp.where(live, vs, 0.0)
+        pv = p * vs                                             # [Sb, H]
+    else:
+        pv = p
+    vb = v_ref[0].astype(jnp.bfloat16)                          # [Sb, F]
+    if ragged:
+        # Same undefined-padding hazard through the vb^T @ pv dot (0 x NaN).
+        # Static gate: caches whose length is a tile multiple skip this
+        # select entirely; kv_len/kv_valid masking already rides the
+        # (always-masked) score side. Only rows past s_total hold undefined
+        # values, so a full-shape iota compare suffices (and avoids the
+        # [Sb, 1] -> [Sb, F] lane broadcast Mosaic lacks).
+        rows_f = (jax.lax.broadcasted_iota(jnp.int32, (s_tile, vb.shape[1]), 0)
+                  + j * s_tile)
+        vb = jnp.where(rows_f < s_total, vb, jnp.bfloat16(0))
+    tile_out = jax.lax.dot_general(
+        vb, pv.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [F, H]
+    acc_scr[:] = acc_scr[:] * corr + tile_out
+
+    @pl.when(j == nt - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:], 1e-30)                    # [1, H]
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "s_tile", "has_scales", "has_valid"))
+def _decode_call(qbd, k2, v2, ks2, vs2, kvv2, kvl, *, heads: int,
+                 s_tile: int, has_scales: bool, has_valid: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s_total, f = k2.shape
+    nt = pl.cdiv(s_total, s_tile)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, f, heads), lambda i, j, kvl_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, f), lambda i, j, kvl_ref: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, f), lambda i, j, kvl_ref: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # Unused (dummy) scale/valid inputs are [B, s_tile, ...]-shaped;
+            # pin their block index to 0 so no out-of-bounds block is mapped.
+            pl.BlockSpec((1, s_tile, heads),
+                         (lambda i, j, kvl_ref: (i, j, 0)) if has_scales
+                         else (lambda i, j, kvl_ref: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, heads),
+                         (lambda i, j, kvl_ref: (i, j, 0)) if has_scales
+                         else (lambda i, j, kvl_ref: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, heads),
+                         (lambda i, j, kvl_ref: (i, j, 0)) if has_valid
+                         else (lambda i, j, kvl_ref: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, heads), lambda i, j, kvl_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((f, heads), jnp.float32),        # output accumulator
+            pltpu.VMEM((1, heads), jnp.float32),        # running max
+            pltpu.VMEM((1, heads), jnp.float32),        # running denominator
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, s_total=s_total, s_tile=s_tile,
+        has_scales=has_scales, has_valid=has_valid,
+        ragged=bool(s_total % s_tile))
+    bytes_cache = k2.size * k2.dtype.itemsize * 2
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, f, heads), jnp.bfloat16),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s_total * f * heads,
+            bytes_accessed=bytes_cache + b * heads * f * 2,
+            transcendentals=b * s_total * heads),
+        interpret=pallas_interpret(),
+    )(kvl, qbd, k2, v2, ks2, vs2, kvv2)
+    return out
+
+
+def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                           kv_len: Optional[jax.Array] = None,
+                           kv_valid: Optional[jax.Array] = None,
+                           k_scale: Optional[jax.Array] = None,
+                           v_scale: Optional[jax.Array] = None,
+                           s_tile: int = 256) -> jax.Array:
+    """Decode-step attention. ``q``: [B, H, 1, D]; ``k``/``v``: the cache in
+    its native ``[B, S, KV, D]`` layout — int8 (with ``k_scale``/``v_scale``
+    [B, S, KV, 1]) or the compute dtype. ``kv_len``: [B] valid lengths;
+    ``kv_valid``: [B, S] row validity (rotating decode window). Returns
+    [B, H, 1, D] in q's dtype; numerics match `_xla_attention(bshd)`."""
+    b, h, sq, d = q.shape
+    if sq != 1:
+        raise ValueError(f"flash_decode_attention is single-token (Sq=1), "
+                         f"got Sq={sq}")
+    s_total, kvh = k.shape[1], k.shape[2]
+    f = kvh * d
+    has_scales = k_scale is not None
+    if has_scales != (v_scale is not None):
+        raise ValueError("k_scale and v_scale must be provided together")
+
+    group = h // kvh
+    # Block-diagonal query operand [B, F, H] (head_dim scale folded in):
+    # row kv*D+d, column h carries q[h, d] iff head h reads KV head kv.
+    pick = jax.nn.one_hot(jnp.arange(h) // group, kvh, dtype=jnp.float32)
+    q2 = q.reshape(b, h, d).astype(jnp.float32) * (d ** -0.5)
+    qbd = jnp.einsum("bhd,hk->bkdh", q2, pick).reshape(b, f, h)
+    qbd = qbd.astype(jnp.bfloat16)
+
+    k2 = k.reshape(b, s_total, f)
+    v2 = v.reshape(b, s_total, f)
+    # VMEM budget: the k/v blocks are double-buffered by the grid pipeline
+    # (2 inputs x 2 buffers x st x F x itemsize); keep them within ~10 MB of
+    # the 16 MB scoped-vmem limit, leaving room for scratch/scales/output.
+    st_cap = (10 << 20) // (4 * f * jnp.dtype(k2.dtype).itemsize)
+    st = min(s_tile, max(32, s_total), max(32, st_cap))
+    if st >= 128:
+        st = (st // 128) * 128
+    if has_scales:
+        # Per-row KV-head scales broadcast to the query heads they serve
+        # (scores land in [S, H]).
+        ks2 = jnp.repeat(k_scale.reshape(b, s_total, kvh).astype(jnp.float32),
+                         group, axis=2)
+        vs2 = jnp.repeat(v_scale.reshape(b, s_total, kvh).astype(jnp.float32),
+                         group, axis=2)
+    else:
+        ks2 = jnp.zeros((b, st, h), jnp.float32)
+        vs2 = jnp.zeros((b, st, h), jnp.float32)
+    has_valid = kv_valid is not None
+    if has_valid:
+        # Pre-repeat to lane width: [B, S, H] int8 (2% of the int8 cache
+        # stream) so the kernel's where() is full-shape — Mosaic has no
+        # [Sb, 1] -> [Sb, H] lane broadcast.
+        kvv2 = jnp.repeat(kv_valid.reshape(b, s_total, 1).astype(jnp.int8),
+                          h, axis=2)
+    else:
+        kvv2 = jnp.zeros((b, st, h), jnp.int8)
+    if kv_len is None:
+        kvl = jnp.full((b,), s_total, jnp.int32)
+    else:
+        kvl = kv_len.astype(jnp.int32)
+
+    out2 = _decode_call(qbd, k2, v2, ks2, vs2, kvv2, kvl, heads=h,
+                        s_tile=st, has_scales=has_scales,
+                        has_valid=has_valid)
+    # Each head's result lives in its own KV head's D-block of [F, H].
+    out4 = out2.reshape(b, kvh, d, h)
+    if kvh == 1:
+        out = out4[:, 0].transpose(0, 2, 1)                     # [B, H, D]
+    else:
+        out = jnp.einsum("bkdh,hk->bhd", out4, pick.astype(out4.dtype))
+    return out[:, :, None, :].astype(q.dtype)
