@@ -252,8 +252,11 @@ class DecoderAttention(nn.Module):
                 # touching S·KV elements instead of S·KV·D (measured
                 # 1.09x/layer at BLIP-2 MHA decode shapes).
                 if isinstance(ck, QuantizedKV):
-                    k_att = ck.q.astype(self.dtype)
-                    v_att = cv.q.astype(self.dtype)
+                    # Raw int8 rows: ops.attention either streams them as
+                    # int8 through the fused decode kernel (MHA/GQA on
+                    # TPU — half the HBM traffic) or applies the bare
+                    # cast itself on the XLA fallback.
+                    k_att, v_att = ck.q, cv.q
                     k_scale, v_scale = ck.scale, cv.scale
                 else:
                     k_att, v_att = ck, cv
@@ -273,15 +276,20 @@ class DecoderAttention(nn.Module):
         # GQA/MQA: k_att/v_att keep their kv_heads; ops.attention contracts
         # groups against the shared KV heads (no repeated cache traffic).
         # LLaMA-family scale is head_dim**-0.5 (ops.attention applies it).
-        # Single-token decode steps stay on the XLA path (a 1-row q tile
-        # under-utilizes the MXU; XLA's batched matvec is better there);
-        # prefill uses the fused Pallas kernel incl. kv_len masking.
-        o = attention(q.astype(self.dtype), k_att.astype(self.dtype),
-                      v_att.astype(self.dtype), causal=att_causal,
+        # Decode steps (s == 1): "auto" routes int8 MHA/GQA caches to the
+        # fused flash-decode kernel (raw int8 stream) and everything else
+        # to XLA's batched matvec; prefill uses the fused Pallas prefill
+        # kernel incl. kv_len masking. int8 caches pass through unconverted.
+        if k_att.dtype != jnp.int8:
+            k_att = k_att.astype(self.dtype)
+            v_att = v_att.astype(self.dtype)
+        decode_impl = "xla" if self.attn_impl == "xla" else "auto"
+        o = attention(q.astype(self.dtype), k_att, v_att,
+                      causal=att_causal,
                       kv_len=att_kv_len, kv_valid=kv_valid,
                       prefix_len=prefix_len, kv_layout=kv_layout,
                       k_scale=k_scale, v_scale=v_scale,
-                      impl="xla" if s == 1 else self.attn_impl)
+                      impl=decode_impl if s == 1 else self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
         return o, new_cache
