@@ -1,6 +1,14 @@
 """Evaluator tests: metric math, artifact schema, and golden regression
-against the reference's committed metrics.json artifacts."""
+against the reference's committed metrics.json artifacts.
 
+The golden preds/gts/metrics dumps are vendored (gzipped, byte-verbatim)
+under ``tests/goldens/eval`` so the regression suite runs in a bare clone;
+when the reference repo is mounted at ``/root/reference`` an extra test
+cross-checks the vendored bytes against the originals
+(`/root/reference/datasets_vlm/evaluate_dataset.py:31-32` is what dumps
+them)."""
+
+import gzip
 import json
 from pathlib import Path
 
@@ -9,10 +17,16 @@ import pytest
 from vlm_tpu.evaluation import Evaluator
 
 REF_EVAL = Path("/root/reference/probing/linear_probing/eval")
+GOLDENS = Path(__file__).parent / "goldens" / "eval"
 
 
 def _read(p):
     return json.loads(Path(p).read_text())
+
+
+def _read_golden(case_dir: Path, name: str):
+    return json.loads(gzip.decompress((case_dir / (name + ".gz"))
+                                      .read_bytes()))
 
 
 class TestFaceEvaluation:
@@ -90,29 +104,43 @@ class TestMiviaEvaluation:
             assert (out / f"confusion_matrix_{t}.png").exists()
 
 
-@pytest.mark.skipif(not REF_EVAL.exists(),
-                    reason="reference artifacts not mounted")
 class TestGoldenRegression:
-    """Recompute metrics from the reference's committed preds/gts dumps and
-    check our Evaluator reproduces its committed metrics.json exactly."""
+    """Recompute metrics from the reference's committed preds/gts dumps
+    (vendored under tests/goldens/eval) and check our Evaluator reproduces
+    its committed metrics.json exactly. Self-contained: runs in a bare
+    clone, no reference mount needed."""
 
-    # Every committed reference artifact with a preds/gts dump.
+    # Every vendored golden case.
     CASES = sorted(
         (run.name, task.name, ds.name)
-        for run in REF_EVAL.iterdir() if run.is_dir()
+        for run in GOLDENS.iterdir() if run.is_dir()
         for task in run.iterdir() if task.is_dir()
         for ds in task.iterdir()
-        if (ds / "preds.json").exists() and (ds / "gts.json").exists()
-    ) if REF_EVAL.exists() else []
+        if (ds / "preds.json.gz").exists() and (ds / "gts.json.gz").exists()
+    ) if GOLDENS.exists() else []
+
+    def test_goldens_vendored(self):
+        assert len(self.CASES) >= 16, \
+            "vendored golden set missing or truncated"
+
+    @pytest.mark.skipif(not REF_EVAL.exists(),
+                        reason="reference artifacts not mounted")
+    def test_vendored_bytes_match_reference(self):
+        """Optional cross-check: the vendored gzips decompress to the
+        reference's committed artifact bytes, verbatim."""
+        for run, task, ds in self.CASES:
+            src = REF_EVAL / run / task / ds
+            dst = GOLDENS / run / task / ds
+            for name in ("preds.json", "gts.json", "metrics.json"):
+                assert gzip.decompress((dst / (name + ".gz")).read_bytes()) \
+                    == (src / name).read_bytes(), f"{run}/{task}/{ds}/{name}"
 
     @pytest.mark.parametrize("run,task,ds", CASES)
     def test_metrics_match_reference(self, tmp_path, run, task, ds):
-        src = REF_EVAL / run / task / ds
-        if not (src / "preds.json").exists():
-            pytest.skip("no preds dump for this case")
-        preds = _read(src / "preds.json")
-        gts = _read(src / "gts.json")
-        ref_metrics = _read(src / "metrics.json")
+        src = GOLDENS / run / task / ds
+        preds = _read_golden(src, "preds.json")
+        gts = _read_golden(src, "gts.json")
+        ref_metrics = _read_golden(src, "metrics.json")
         out = tmp_path / run / task / ds
         Evaluator.evaluate(preds, gts, out, dataset_name=ds,
                            age_mode="classification")

@@ -283,13 +283,20 @@ class DecoderAttention(nn.Module):
         if k_att.dtype != jnp.int8:
             k_att = k_att.astype(self.dtype)
             v_att = v_att.astype(self.dtype)
+        # decode_impl applies only to true cached decode steps (s == 1 AND
+        # a cache present, i.e. kv_layout == "bshd"): the cache-less
+        # single-token call (full forward over one token) stays on "xla" —
+        # "auto" there could pick the prefill flash kernel for a 1-row q
+        # tile, which under-utilizes the MXU.
+        is_decode = s == 1 and cache_kv is not None
         decode_impl = "xla" if self.attn_impl == "xla" else "auto"
         o = attention(q.astype(self.dtype), k_att, v_att,
                       causal=att_causal,
                       kv_len=att_kv_len, kv_valid=kv_valid,
                       prefix_len=prefix_len, kv_layout=kv_layout,
                       k_scale=k_scale, v_scale=v_scale,
-                      impl=decode_impl if s == 1 else self.attn_impl)
+                      impl=decode_impl if is_decode else
+                      ("xla" if s == 1 else self.attn_impl))
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * hd)
         o = Dense(cfg.hidden, shard=("model", None), name="o_proj", **dd)(o)
         return o, new_cache

@@ -28,6 +28,13 @@ import jax.numpy as jnp
 
 from ._compat import pallas_interpret
 
+# Read once at import: attention() is traced under jit, so an inline
+# os.environ read would be baked in at first compile anyway — two call
+# sites compiled at different times could then disagree if the variable
+# changed mid-process. A module constant makes the set-before-import
+# contract explicit.
+DECODE_ATTN_IMPL = os.environ.get("VLM_TPU_DECODE_ATTN", "xla")
+
 NEG_INF = -1e30
 
 
@@ -254,10 +261,10 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         on_tpu = jax.devices()[0].platform == "tpu"
         if (on_tpu and q.shape[2] == 1 and kv_layout == "bshd"
                 and not causal and bias is None and prefix_len is None
-                and k_scale is not None and k.shape[2] > 1
+                and k_scale is not None and v_scale is not None
+                and k.shape[2] > 1
                 and (k.shape[2] * q.shape[-1]) % 128 == 0
-                and os.environ.get("VLM_TPU_DECODE_ATTN", "xla")
-                == "flash"):
+                and DECODE_ATTN_IMPL == "flash"):
             # OPT-IN (VLM_TPU_DECODE_ATTN=flash): fused decode kernel over
             # the raw int8 cache. Wins 4x on an isolated full-cache
             # stream (0.392 vs 1.608 ms at B=64/S=1152 MHA int8) but LOSES

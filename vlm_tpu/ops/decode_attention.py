@@ -215,7 +215,13 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     its native ``[B, S, KV, D]`` layout — int8 (with ``k_scale``/``v_scale``
     [B, S, KV, 1]) or the compute dtype. ``kv_len``: [B] valid lengths;
     ``kv_valid``: [B, S] row validity (rotating decode window). Returns
-    [B, H, 1, D] in q's dtype; numerics match `_xla_attention(bshd)`."""
+    [B, H, 1, D] in q's dtype; numerics match `_xla_attention(bshd)` for
+    every row with at least one live KV position. A fully-masked row
+    (kv_len == 0 or kv_valid all-False) diverges by design: this kernel
+    returns zeros (denominator clamped to 1e-30) where the XLA softmax
+    degenerates to uniform probabilities and returns the mean of V. The
+    batcher only hits that case on inactive slots, whose outputs are
+    discarded."""
     b, h, sq, d = q.shape
     if sq != 1:
         raise ValueError(f"flash_decode_attention is single-token (Sq=1), "
