@@ -89,21 +89,21 @@ def main():
     state = batcher._init_state()
 
     # ---- admission phase ----
+    # Slots are chosen on-device (first g free, ascending), so successive
+    # blocks land at [0,g), [g,2g), ... exactly as the old host-chosen
+    # version did.
     n_adm = B // g
-    slot_caps = [jnp.asarray(np.stack([
-        np.arange(i * g, (i + 1) * g),
-        np.full((g,), cap_tokens)]).astype(np.int32))
-        for i in range(n_adm)]
+    caps_arr = jnp.asarray(np.full((g,), cap_tokens, np.int32))
     # compile
     state, cache = batcher._admit_group(
-        model.params, pixels, pre_ids, post_ids, plen, slot_caps[0],
+        model.params, pixels, pre_ids, post_ids, plen, caps_arr,
         state, cache)
     _ = np.asarray(state["act"])
     times = []
     for i in range(1, n_adm):
         t0 = time.perf_counter()
         state, cache = batcher._admit_group(
-            model.params, pixels, pre_ids, post_ids, plen, slot_caps[i],
+            model.params, pixels, pre_ids, post_ids, plen, caps_arr,
             state, cache)
         _ = np.asarray(state["act"])
         times.append(time.perf_counter() - t0)

@@ -173,6 +173,35 @@ class TestContinuousBatcher:
         assert all(len(o) <= c for o, c in
                    zip(outs[0], run_kw["max_new_per_image"]))
 
+    def test_pipelined_matches_sync_loop(self, model):
+        """The pipelined host loop (sync_every=0: device-chosen slots,
+        lazy packed pulls) must produce exactly the legacy synchronous
+        loop's results, with per-image caps exercising EOS-at-admission
+        slot reuse, across pipeline depths."""
+        cfg, module, params = model
+        t = num_image_tokens(cfg)
+        n = 9
+        px_all = _pixels(cfg, n, seed=21)
+        kw = dict(max_prompt_len=2 + t, max_new_tokens=5,
+                  cache_dtype=jnp.float32, admit_block=2)
+        run_kw = dict(pre_ids_row=np.ones((2,), np.int32),
+                      post_ids_row=np.zeros((0,), np.int32),
+                      prompt_len_scalar=2 + t, n_images=n,
+                      max_new_per_image=[5, 1, 3, 1, 2, 5, 1, 4, 2])
+        ref = ContinuousBatcher(module, cfg, batch_size=3,
+                                sync_every=16, **kw).run(
+            params, pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+            **run_kw)
+        for depth in (1, 3):
+            b = ContinuousBatcher(module, cfg, batch_size=3,
+                                  pipeline_depth=depth, **kw)
+            got = b.run(params,
+                        pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                        **run_kw)
+            assert got == ref, f"pipeline_depth={depth}"
+            assert all(l is not None and l >= 0
+                       for l in b.last_latency_s)
+
     def test_all_caps_one(self, model):
         """Every request capped at 1 token: each admission deactivates all
         its slots inside the prefill program, so every decode chunk runs

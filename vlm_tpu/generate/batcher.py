@@ -20,7 +20,17 @@ slowest member. This engine instead keeps ``B`` decode slots busy:
 - admission itself needs **no host round trip**: the per-slot decode state
   (current token, length, generated count, cap, active flag, token history,
   rng step) lives on the device and admission updates it inside the prefill
-  program. The host's slot mirror is refreshed from the packed sync.
+  program. The host's slot mirror is refreshed from the packed sync;
+- the default loop is **pipelined** (``sync_every=0``): admission picks its
+  slots *on the device* (first free by slot index — the ``occ`` occupancy
+  bit), so the host can enqueue the next cycle's admit+chunk programs
+  before the previous chunk's results are pulled. The device queue never
+  drains across admission cycles; per-cycle host work (packed pull +
+  pixel upload + dispatch) hides under device compute instead of
+  serializing with it (~40 ms tunnel RTT per round trip otherwise). A
+  positive ``sync_every`` selects the legacy synchronous loop (host syncs
+  once per chunk — tighter latency observation, used by latency-recipe
+  measurements).
 
 All device work is jitted with static shapes: per-slot cache writes go
 through the Pallas scatter-write kernel (`vlm_tpu/ops/kvcache.py`),
@@ -69,6 +79,7 @@ class ContinuousBatcher:
                  top_p: float = 1.0,
                  rng: Optional[jax.Array] = None,
                  sync_every: int = 0,
+                 pipeline_depth: int = 1,
                  mesh=None):
         self.module = module
         self.cfg = cfg
@@ -102,6 +113,13 @@ class ContinuousBatcher:
         # caps the chunk and forces a host sync at least every N steps
         # (tighter progress reporting at the cost of more round trips).
         self.sync_every = int(sync_every)
+        # Pipelined loop (sync_every=0): number of un-pulled chunk results
+        # allowed in flight. 1 keeps the device exactly one admission cycle
+        # ahead of the host — enough to hide tunnel round trips without
+        # inflating the latency-observation lag; raise it only if per-cycle
+        # host work (pull + pixel upload + dispatch) exceeds per-cycle
+        # device time.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # Sampling parity with the wave engine (greedy when temperature<=0).
         self.temperature = temperature
         self.top_k = top_k
@@ -148,6 +166,15 @@ class ContinuousBatcher:
             "dstep": jnp.zeros((), jnp.int32),
             "acol": jnp.zeros((b,), jnp.int32),
             "pcol": jnp.zeros((), jnp.int32),
+            # Occupancy: True from admission until the end of the next
+            # decode chunk observes the slot inactive. Differs from "act"
+            # only for slots that finish *inside* an admission (EOS/cap=1
+            # first token): they stay occupied until a chunk runs, so
+            # back-to-back admissions never reuse a slot whose result the
+            # host hasn't had a chance to observe. Device-side slot choice
+            # (first g free by index) therefore exactly mirrors the host's
+            # slot table at every point in the dispatch order.
+            "occ": jnp.zeros((b,), bool),
         }
         if self.temperature > 0.0:
             state["rng"] = rng if rng is not None else \
@@ -155,14 +182,24 @@ class ContinuousBatcher:
         return state
 
     def _admit_group_impl(self, params, pixels, pre_ids, post_ids,
-                          prompt_len, slot_caps, state, cache):
-        """Prefill ``g`` sequences, scatter their KV into ``cache`` at batch
-        indices ``slot_caps[0]`` and update the per-slot decode state (caps
-        from ``slot_caps[1]``). The group's first sampled tokens land in the
-        history buffer — nothing returns to the host."""
-        slots = slot_caps[0]
-        caps_new = slot_caps[1]
+                          prompt_len, caps_new, state, cache):
+        """Prefill ``g`` sequences into the first ``g`` FREE slots (chosen
+        on-device: lowest unoccupied slot indices) and update the per-slot
+        decode state (caps from ``caps_new`` [g]). The group's first sampled
+        tokens land in the history buffer — nothing returns to the host.
+
+        Device-side slot choice is what makes the pipelined host loop
+        possible: the host can dispatch this program without having synced
+        which slots freed during the previous chunk. The choice (stable
+        argsort of ``occ`` → first g free, ascending index) is identical to
+        the host mirror's ``free[:g]``, so the host reconstructs the
+        assignment without any extra device pull. The caller must guarantee
+        ≥ g slots are free at execution time (the previous chunk's
+        ``stop_free`` provides it)."""
         g = pixels.shape[0]
+        # Free slots first (False < True), ties broken by ascending index
+        # (stable sort) — exactly the host's free[:g].
+        slots = jnp.argsort(state["occ"], stable=True)[:g]
         # The group cache only ever holds PROMPT rows (prefill writes at
         # columns [0, max_prompt_len)); allocating it cache_len deep — and
         # streaming those provably-zero decode-window columns through the
@@ -219,6 +256,10 @@ class ContinuousBatcher:
             "acol": state["acol"].at[slots].set(
                 jnp.mod(state["dstep"], self.max_new_tokens)),
             "pcol": prompt_len[0].astype(jnp.int32),
+            # Occupied regardless of act_new: an EOS-at-admission slot is
+            # not reusable until the next chunk's packed result has had a
+            # chance to carry its history row to the host.
+            "occ": state["occ"].at[slots].set(True),
         }
         if "rng" in state:
             new_state["rng"] = state["rng"]
@@ -292,7 +333,11 @@ class ContinuousBatcher:
             cond, body, carry)
         new_state = {"cur": cur, "slen": slen, "gcnt": gcnt, "caps": caps,
                      "act": act, "hist": hist, "step": base_step + k,
-                     "dstep": base_dstep + k, "acol": acol, "pcol": pcol}
+                     "dstep": base_dstep + k, "acol": acol, "pcol": pcol,
+                     # Chunk exit is the host-observability boundary: every
+                     # slot inactive here has its result in this packed
+                     # return, so it becomes reusable (occ := act).
+                     "occ": act}
         if rng is not None:
             new_state["rng"] = rng
         packed = jnp.concatenate(
@@ -342,6 +387,15 @@ class ContinuousBatcher:
         chunk's end time. This is the honest *host-observable* latency (a
         caller could not have acted sooner); set a modest ``sync_every``
         when tight latency percentiles are the measurement target.
+
+        Loop selection: ``sync_every=0`` (default) runs the pipelined loop —
+        admit/chunk programs for cycle k+1 are enqueued before cycle k's
+        packed result is pulled, so tunnel round trips and pixel uploads
+        hide under device compute. ``sync_every>0`` runs the legacy
+        synchronous loop (one blocking sync per chunk): chunk-length caps
+        would break the pipelined loop's free-slot guarantee (an admission
+        may only execute once the previous chunk has freed enough slots,
+        which a step-capped chunk cannot promise).
         """
         B = self.batch_size
         n_new = self.max_new_tokens
@@ -380,7 +434,8 @@ class ContinuousBatcher:
         # NB: dispatches are async — "admit_s"/"chunk_dispatch_s" time only
         # program submission. "sync_s" blocks until the dispatched chunk
         # finishes on the device, so it is decode compute + the host pull,
-        # not pull alone.
+        # not pull alone (in the pipelined loop the wait overlaps the next
+        # cycle's device work, so large sync_s there is *hidden* time).
         stats = {"admit_s": 0.0, "admits": 0, "chunk_dispatch_s": 0.0,
                  "chunks": 0, "sync_s": 0.0, "block_wait_s": 0.0}
         self.last_stats = stats
@@ -391,13 +446,13 @@ class ContinuousBatcher:
             stats[key + "_s"] += time.perf_counter() - t0
             return out
 
-        def dispatch_admit(free: List[int], idxs: List[int], pixels):
+        def dispatch_admit(idxs: List[int], pixels):
+            """Enqueue the admission program. Slot choice happens on the
+            device (first g free, ascending index); the host mirrors it in
+            assign_slots without any device pull."""
             nonlocal cache, state
-            group = free[:len(idxs)]
-            g = len(group)
-            now = time.perf_counter()
-            for idx in idxs:
-                t_admit[idx] = now
+            g = len(idxs)
+            stats["admits"] += 1
             if g not in pre_g:
                 pre_g[g] = jnp.asarray(np.repeat(pre_ids_row[None], g, 0))
                 post_g[g] = jnp.asarray(np.repeat(post_ids_row[None], g, 0))
@@ -408,14 +463,23 @@ class ContinuousBatcher:
                 if max_new_per_image is not None:
                     cap = max(1, min(cap, int(max_new_per_image[idxs[j]])))
                 caps.append(cap)
-            slot_caps = jnp.asarray(np.stack([group, caps]).astype(np.int32))
             state, cache = self._admit_group(
-                params, pixels, pre_g[g], post_g[g], plen_g[g], slot_caps,
-                state, cache)
-            for j, s in enumerate(group):
-                slots[s] = _Slot(image_idx=idxs[j], active=True)
+                params, pixels, pre_g[g], post_g[g], plen_g[g],
+                jnp.asarray(np.asarray(caps, np.int32)), state, cache)
 
-        def sync(packed) -> None:
+        def assign_slots(idxs: List[int], t0: float) -> None:
+            """Mirror the device's slot choice for admission ``idxs``: the
+            first len(idxs) free slots in ascending index order — identical
+            to argsort(occ)[:g] because the mirror is updated in dispatch
+            order (occupied at admit, freed only when a chunk's packed
+            result has been resolved)."""
+            free = [i for i, s in enumerate(slots) if not s.active]
+            assert len(free) >= len(idxs), "admission without free slots"
+            for j, s in enumerate(free[:len(idxs)]):
+                slots[s] = _Slot(image_idx=idxs[j], active=True)
+                t_admit[idxs[j]] = t0
+
+        def resolve(packed) -> None:
             """Pull the packed chunk result (ONE host round trip) and
             resolve every slot the device finished since the last sync."""
             t0 = time.perf_counter()
@@ -435,15 +499,40 @@ class ContinuousBatcher:
                 if progress is not None:
                     progress(1)
 
-        pending = timed("block_wait", next, block_iter, None)
-        try:
+        # Pipelined-loop event stream: admissions and chunk results are
+        # recorded at dispatch and replayed in order when resolved, so the
+        # host mirror always reflects device state at the corresponding
+        # point of the dispatch stream. Held at run() scope so the
+        # interrupt handler can drain already-dispatched work.
+        events: List[tuple] = []   # ("admit", idxs, t) | ("chunk", arr, t)
+        t_last_pull = 0.0
+
+        def process_event() -> None:
+            nonlocal t_last_pull
+            kind, payload, t0 = events.pop(0)
+            if kind == "admit":
+                assign_slots(payload, max(t0, t_last_pull))
+            else:
+                resolve(payload)
+                t_last_pull = time.perf_counter()
+
+        def drain_events(keep_chunks: int) -> None:
+            while sum(1 for e in events if e[0] == "chunk") > keep_chunks:
+                process_event()
+
+        def run_sync() -> None:
+            """Legacy synchronous loop: one blocking sync per chunk."""
+            nonlocal state, cache
+            pending = timed("block_wait", next, block_iter, None)
             while pending is not None or any(s.active for s in slots):
-                free = [i for i, s in enumerate(slots) if not s.active]
-                if pending is not None and len(free) >= len(pending[0]):
+                n_free = sum(not s.active for s in slots)
+                if pending is not None and n_free >= len(pending[0]):
                     # Admission dispatches device work but needs no host
                     # round trip — slot state updates inside the program.
-                    stats["admits"] += 1
-                    timed("admit", dispatch_admit, free, *pending)
+                    idxs, pixels = pending
+                    t0 = time.perf_counter()
+                    timed("admit", dispatch_admit, idxs, pixels)
+                    assign_slots(idxs, t0)
                     pending = timed("block_wait", next, block_iter, None)
                     continue
                 # Decode until the next admission fits (or, with no supply
@@ -457,12 +546,72 @@ class ContinuousBatcher:
                 packed, state, cache = self._decode_chunk(
                     params, state, cache, stop, max_steps)
                 stats["chunk_dispatch_s"] += time.perf_counter() - t0
-                sync(packed)
+                resolve(packed)
+
+        def run_pipelined() -> None:
+            """Pipelined loop: enqueue cycle k+1's admit+chunk before
+            pulling cycle k's packed result. Events (admissions, chunk
+            results) are recorded at dispatch and replayed in order when
+            resolved, so the host mirror always reflects device state at
+            the corresponding point of the dispatch stream.
+
+            The free-slot guarantee that makes blind dispatch safe: a chunk
+            with stop_free=s only exits once ≥ s slots are free (its step
+            cap is max_new_tokens, enough for every active slot to reach
+            its cap), so the following admission of g ≤ s images always
+            finds slots. ``guaranteed`` tracks the conservative free count
+            along the dispatch stream.
+
+            Latency accounting: an admission's wall-clock start is taken as
+            max(dispatch time, pull time of the chunk dispatched before it)
+            — the device cannot have started it earlier than either.
+            Completions are observed at the (lazy, one-cycle-behind) packed
+            pull, so percentiles carry up to one extra cycle of observation
+            lag versus the synchronous loop."""
+            nonlocal state, cache
+            guaranteed = B
+            pending = timed("block_wait", next, block_iter, None)
+            while pending is not None:
+                while pending is not None and guaranteed >= len(pending[0]):
+                    idxs, pixels = pending
+                    timed("admit", dispatch_admit, idxs, pixels)
+                    events.append(("admit", idxs, time.perf_counter()))
+                    guaranteed -= len(idxs)
+                    pending = timed("block_wait", next, block_iter, None)
+                stop = (jnp.asarray(len(pending[0]), jnp.int32)
+                        if pending is not None else stop_never)
+                stats["chunks"] += 1
+                t0 = time.perf_counter()
+                packed, state, cache = self._decode_chunk(
+                    params, state, cache, stop, max_steps)
+                stats["chunk_dispatch_s"] += time.perf_counter() - t0
+                events.append(("chunk", packed, t0))
+                guaranteed = len(pending[0]) if pending is not None else B
+                drain_events(self.pipeline_depth)
+            # The final chunk (stop_never) drained every slot on-device;
+            # replay the remaining events to collect its results.
+            while events:
+                process_event()
+
+        try:
+            if self.sync_every > 0:
+                run_sync()
+            else:
+                run_pipelined()
         except KeyboardInterrupt:
             # Partial-results semantics (reference:
             # scripts/prompt_inference.py:80-86): unfinished inputs stay
-            # None so the caller can evaluate only what completed.
+            # None so the caller can evaluate only what completed. In the
+            # pipelined loop, already-dispatched chunks complete on-device
+            # regardless of the interrupt (bounded: ≤ pipeline_depth+1
+            # chunks); replaying the recorded events collects their
+            # results too.
             print("\n[batcher] interrupted — returning completed results")
+            try:
+                while events:
+                    process_event()
+            except Exception:
+                pass
         finally:
             block_iter.close()
         return results
