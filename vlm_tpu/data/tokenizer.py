@@ -96,8 +96,11 @@ def load_tokenizer(model_path: Optional[str] = None,
                    pad_id: int = 0) -> Tokenizer:
     """Tokenizer from ``model_path`` (or ``$VLM_TPU_TOKENIZER``): HF
     tokenizer files when transformers can load them, else a raw
-    SentencePiece ``tokenizer.model`` via the dependency-free reader, else
-    the byte-level fallback."""
+    SentencePiece ``tokenizer.model`` via the dependency-free reader
+    (Vicuna/Gemma checkpoints), else byte-level BPE files via the
+    dependency-free reader (`vlm_tpu.data.bpe` — OPT/GPT-2 checkpoints:
+    ``vocab.json``+``merges.txt`` or a BPE ``tokenizer.json``), else the
+    byte-level fallback (with a WARN: only for genuinely missing files)."""
     path = model_path or os.getenv("VLM_TPU_TOKENIZER")
     if path and not Path(path).exists():
         # An explicitly requested tokenizer that is missing must not
@@ -109,16 +112,26 @@ def load_tokenizer(model_path: Optional[str] = None,
         p = Path(path)
         sp_file = p if p.is_file() and p.suffix == ".model" else \
             p / "tokenizer.model"
+        errors = []
         try:
             return HFTokenizer(str(p))
         except Exception as e:
-            if not sp_file.exists():
-                print(f"[WARN] HF tokenizer load failed ({e}); "
-                      f"using byte fallback", file=sys.stderr)
+            errors.append(f"transformers: {e}")
         if sp_file.exists():
             try:
                 return SPTokenizer(str(sp_file))
             except Exception as e:
-                print(f"[WARN] sentencepiece load failed ({e}); "
-                      f"using byte fallback", file=sys.stderr)
+                errors.append(f"sentencepiece: {e}")
+        try:
+            from .bpe import load_bpe_dir, load_tokenizer_json
+            if p.is_file():
+                return load_tokenizer_json(str(p))
+            return load_bpe_dir(str(p))
+        except FileNotFoundError:
+            pass    # no BPE files present — not an error for SP dirs
+        except Exception as e:
+            errors.append(f"byte-level BPE: {e}")
+        print(f"[WARN] no loadable tokenizer at {path!r} "
+              f"({'; '.join(errors)}); using byte fallback",
+              file=sys.stderr)
     return ByteTokenizer(bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
