@@ -87,6 +87,38 @@ class TestFlashDecodeAttention:
             9, 2, 8, 4, 64, 96, True, True, True)
         _assert_parity(q, kx, vx, kp, vp, ks, vs, kl, kv, 64, 64)
 
+    @pytest.mark.parametrize("int8,kvh", [(True, 4), (False, 2)])
+    def test_kv_window_scalar_parity(self, int8, kvh):
+        """kv_window (scalar rotating-window form) must equal both the
+        kernel's kv_valid path and the XLA reference masked with the
+        equivalent [B, S] mask — built with the continuous batcher's own
+        formula (generate/batcher._decode_chunk_impl valid_key)."""
+        b, h, d, pcol, w = 2, 4, 128, 96, 64
+        s = pcol + w    # batcher geometry: prompt rows + decode window
+        q, kx, vx, kp, vp, ks, vs, _, _ = _case(
+            11, b, h, kvh, d, s, int8, False, False)
+        acol = jnp.asarray([3, 41], jnp.int32)
+        gcnt = jnp.asarray([17, 64], jnp.int32)   # incl. a full window
+        cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+        j = jnp.mod(cols - pcol - acol[:, None], w)
+        valid = (cols < pcol) | ((cols < pcol + w) & (j < gcnt[:, None]))
+        ref = _xla_attention(q, kx, vx, causal=False, scale=d ** -0.5,
+                             kv_valid=valid, kv_layout="bshd",
+                             k_scale=ks, v_scale=vs)
+        via_valid = flash_decode_attention(
+            q, kp, vp, kv_valid=valid, k_scale=ks, v_scale=vs, s_tile=128)
+        via_window = flash_decode_attention(
+            q, kp, vp, kv_valid=valid, kv_window=(pcol, w, acol, gcnt),
+            k_scale=ks, v_scale=vs, s_tile=128)
+        for got in (via_valid, via_window):
+            r = np.asarray(ref, np.float32)
+            g = np.asarray(got, np.float32)
+            err = np.max(np.abs(r - g)) / (np.max(np.abs(r)) + 1e-9)
+            assert err < 2.5e-2, f"relmax={err:.3e}"
+        # the two kernel paths compute the identical mask -> identical bits
+        np.testing.assert_array_equal(np.asarray(via_valid, np.float32),
+                                      np.asarray(via_window, np.float32))
+
     def test_rejects_multi_token_query(self):
         q = jnp.zeros((1, 4, 2, 64), jnp.bfloat16)
         k = v = jnp.zeros((1, 32, 4, 64), jnp.bfloat16)

@@ -320,6 +320,49 @@ class TestInt8KVCache:
         assert out == wave_tokens
 
 
+class TestFlashDecodeOptIn:
+    def test_batcher_tokens_identical_under_flash_decode(self, monkeypatch):
+        """VLM_TPU_DECODE_ATTN=flash routes the batcher's int8 decode steps
+        through the fused Pallas kernel (kv_window scalar masking). Greedy
+        tokens must match the XLA path bit-for-bit — the kernel computes
+        the same masked softmax, only the schedule differs. Uses an MHA
+        geometry the kernel gate accepts (kv_heads * head_dim = 128)."""
+        import dataclasses
+
+        import importlib
+        # vlm_tpu.ops re-exports the attention FUNCTION, which shadows the
+        # submodule under plain `import ... as`; resolve the module itself.
+        attention_mod = importlib.import_module("vlm_tpu.ops.attention")
+        from vlm_tpu.models.configs import llava_config
+
+        cfg = llava_config("test")
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, heads=2, kv_heads=2, head_dim=64))
+        module, params = init_vlm(cfg, jax.random.key(2), dtype=jnp.float32)
+        t = num_image_tokens(cfg)
+        n, max_new = 4, 4
+        px_all = _pixels(cfg, n, seed=21)
+        pre_row = np.ones((1,), np.int32)
+        post_row = np.ones((2,), np.int32)
+        plen = 1 + t + 2
+
+        def run():
+            batcher = ContinuousBatcher(module, cfg, batch_size=2,
+                                        max_prompt_len=plen,
+                                        max_new_tokens=max_new,
+                                        cache_dtype="int8", admit_block=2)
+            return batcher.run(
+                params, pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                pre_ids_row=pre_row, post_ids_row=post_row,
+                prompt_len_scalar=plen, n_images=n)
+
+        ref = run()                                   # XLA decode path
+        monkeypatch.setattr(attention_mod, "DECODE_ATTN_IMPL", "flash")
+        got = run()                                   # fused kernel path
+        assert got == ref
+
+
 class TestSampling:
     def test_greedy_is_argmax(self):
         import jax

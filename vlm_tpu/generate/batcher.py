@@ -297,6 +297,16 @@ class ContinuousBatcher:
         # order is invisible to softmax; RoPE positions still come from
         # slen, so tokens are bit-identical to the per-slot-scatter layout.
         cache_cols = jnp.arange(self.cache_len, dtype=jnp.int32)[None, :]
+        # Mask precompute, hoisted out of the while body (XLA does not LICM
+        # across while_loop iterations): only `j < gcnt` varies per step.
+        # Folding the three loop-invariant terms into one int32 key makes
+        # the in-loop mask a single compare: prompt rows get key -1
+        # (< any gcnt ≥ 0 → always valid), columns outside the window get
+        # key n_new (≥ every cap → never valid), window rows keep their
+        # per-slot modular age j.
+        j = jnp.mod(cache_cols - pcol - acol[:, None], n_new)   # [B, L]
+        valid_key = jnp.where(cache_cols < pcol, -1,
+                              jnp.where(cache_cols < pcol + n_new, j, n_new))
 
         def free(act):
             return b - jnp.sum(act.astype(jnp.int32))
@@ -308,12 +318,14 @@ class ContinuousBatcher:
         def body(carry):
             k, cur, slen, gcnt, act, hist, cache = carry
             wcol = pcol + jnp.mod(base_dstep + k, n_new)
-            j = jnp.mod(cache_cols - pcol - acol[:, None], n_new)
-            valid = (cache_cols < pcol) | (
-                (cache_cols < pcol + n_new) & (j < gcnt[:, None]))
+            valid = valid_key < gcnt[:, None]
             logits, cache = self.module.apply(
                 params, cur[:, None], slen, cache, method="decode_step",
-                write_col=wcol, kv_valid=valid)
+                write_col=wcol, kv_valid=valid,
+                # Scalar form of the same mask: the fused decode kernel
+                # rebuilds it from an in-kernel iota (no [B, L] stream);
+                # paths that consume kv_valid instead leave this dead.
+                kv_window=(pcol, n_new, acol, gcnt))
             nxt = self._sample(logits, rng, base_step + k)
             nxt = jnp.where(act, nxt, self.pad_id)
             # Dense masked write of token #gcnt per active slot (a scatter

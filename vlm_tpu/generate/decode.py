@@ -43,8 +43,13 @@ def _sample(logits: jax.Array, temperature: float, rng: Optional[jax.Array],
     """Greedy (temperature<=0), else temperature sampling with optional
     top-k and/or nucleus (top-p) filtering. All static-shape under jit."""
     if temperature <= 0.0 or rng is None:
+        # argmax is dtype-invariant here: bf16 logits upcast exactly to
+        # fp32, so ordering and tie structure are identical either way.
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
+    # Sampling numerics run in fp32 regardless of the logits buffer dtype
+    # (the decode hot path hands bf16 — an exact representation of the
+    # same values, see Decoder.__call__ logits_dtype).
+    logits = logits.astype(jnp.float32) / temperature
     # Rank-based (not value-threshold) filtering: ties at the boundary must
     # NOT widen the support — with bf16 logits exact ties are common and a
     # value cutoff can degenerate to full-vocabulary sampling.

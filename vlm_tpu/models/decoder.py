@@ -217,7 +217,7 @@ class DecoderAttention(nn.Module):
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
                  kv_len=None, causal=True, prefix_len=None,
-                 uniform_write=False, kv_valid=None):
+                 uniform_write=False, kv_valid=None, kv_window=None):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -293,6 +293,7 @@ class DecoderAttention(nn.Module):
         o = attention(q.astype(self.dtype), k_att, v_att,
                       causal=att_causal,
                       kv_len=att_kv_len, kv_valid=kv_valid,
+                      kv_window=kv_window if is_decode else None,
                       prefix_len=prefix_len, kv_layout=kv_layout,
                       k_scale=k_scale, v_scale=v_scale,
                       impl=decode_impl if is_decode else
@@ -334,7 +335,7 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, positions, rope, cache_kv=None, write_start=None,
                  kv_len=None, causal=True, prefix_len=None,
-                 uniform_write=False, kv_valid=None):
+                 uniform_write=False, kv_valid=None, kv_window=None):
         cfg = self.cfg
         if cfg.norm == "rmsnorm":
             mk_norm = lambda name: RMSNorm(eps=cfg.norm_eps,
@@ -350,7 +351,7 @@ class DecoderBlock(nn.Module):
             self.quant_bits, name="attn")(
                 mk_norm("input_norm")(x), positions, rope, cache_kv,
                 write_start, kv_len, causal, prefix_len, uniform_write,
-                kv_valid)
+                kv_valid, kv_window)
         x = x + h
         x = x + DecoderMLP(cfg, self.dtype, self.param_dtype,
                            self.quant_bits, name="mlp")(
@@ -426,12 +427,22 @@ class Decoder(nn.Module):
                  prefix_len: Optional[jax.Array] = None,
                  logits_index: Optional[jax.Array] = None,
                  uniform_write: bool = False,
-                 kv_valid: Optional[jax.Array] = None):
+                 kv_valid: Optional[jax.Array] = None,
+                 kv_window=None,
+                 logits_dtype: Optional[jnp.dtype] = None):
         """``prefix_len`` [B]: prefix-LM masking — the first prefix_len
         positions attend bidirectionally, the rest causally.
         ``logits_index`` [B]: compute logits only at these positions
         ([B, 1, V]). Essential for prefill: full-sequence logits over a
-        250k-vocab decoder would materialize ~10 GB at batch 24."""
+        250k-vocab decoder would materialize ~10 GB at batch 24.
+        ``logits_dtype``: output dtype for the logits (default float32).
+        The lm_head matmul computes in the compute dtype either way, so a
+        float32 return is an EXACT upcast of the same bf16 values —
+        requesting ``self.dtype`` instead changes no value, only the
+        materialized buffer: [B, V] fp32 is 132 MB/step at B=128 on
+        Gemma's 257k vocab vs 66 MB in bf16 (greedy argmax and
+        upcast-then-softmax sampling are invariant to it; the generation
+        hot paths pass the compute dtype, see vlm.py prefill/decode_step)."""
         cfg = self.cfg
         if input_embeds is None:
             input_embeds = self.embed_tokens(input_ids)
@@ -456,7 +467,7 @@ class Decoder(nn.Module):
                 cache_kv = (cache["k"][i], cache["v"][i])
             x, updated = block(x, positions, rope, cache_kv,
                                write_start, kv_len, causal, prefix_len,
-                               uniform_write, kv_valid)
+                               uniform_write, kv_valid, kv_window)
             if cache is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])
@@ -477,10 +488,9 @@ class Decoder(nn.Module):
             # skinny kernel reached only ~190 GB/s at every workable tile
             # size and was removed. XLA is the right path here.
             logits = self.embed.attend(x.astype(self.dtype))
-            logits = logits.astype(jnp.float32)
         else:
-            logits = self.lm_head(x).astype(jnp.float32)
-        return logits, new_cache
+            logits = self.lm_head(x)
+        return logits.astype(logits_dtype or jnp.float32), new_cache
 
 
 def init_decoder(cfg: DecoderConfig, rng: jax.Array, dtype=jnp.bfloat16,

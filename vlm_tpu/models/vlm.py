@@ -142,19 +142,25 @@ class VLMModule(nn.Module):
         # whole image+prompt prefix; causal families mask normally. Decode
         # steps are causal for both (each new token sees everything before
         # it via kv_len).
+        # logits_dtype=self.dtype: the lm_head computes in the compute dtype
+        # anyway, so this only skips the exact fp32 upcast of the [B, V]
+        # buffer; samplers upcast where fp32 numerics matter (decode.py
+        # _sample, beam.py log_softmax) and greedy argmax is invariant.
         logits, cache = self.decoder(
             input_embeds=embeds, positions=positions, cache=cache,
             write_start=write_start, kv_len=prompt_len,
             causal=not self.cfg.prefix_lm,
             logits_index=prompt_len - 1,
-            uniform_write=True)   # every prefill writes at offset 0
+            uniform_write=True,   # every prefill writes at offset 0
+            logits_dtype=self.dtype)
         return logits[:, 0], cache
 
     def decode_step(self, token_ids: jax.Array, seq_len: jax.Array,
                     cache: Dict[str, jax.Array],
                     uniform_write: bool = False,
                     write_col: Optional[jax.Array] = None,
-                    kv_valid: Optional[jax.Array] = None):
+                    kv_valid: Optional[jax.Array] = None,
+                    kv_window=None):
         """One token per sequence. ``token_ids`` [B,1]; ``seq_len`` [B] is the
         current length (the new token's position). Returns
         (logits [B, V], cache).
@@ -184,7 +190,8 @@ class VLMModule(nn.Module):
             kv_len=None if kv_valid is not None else seq_len + 1,
             causal=False,
             uniform_write=uniform_write or write_col is not None,
-            kv_valid=kv_valid)
+            kv_valid=kv_valid, kv_window=kv_window,
+            logits_dtype=self.dtype)   # exact; fp32 [B,V] is 2x the bytes
         return logits[:, 0], cache
 
 

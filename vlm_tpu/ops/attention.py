@@ -239,6 +239,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False,
               kv_len: Optional[jax.Array] = None,
               kv_valid: Optional[jax.Array] = None,
+              kv_window=None,
               bias: Optional[jax.Array] = None,
               prefix_len: Optional[jax.Array] = None,
               kv_layout: str = "bhsd",
@@ -253,13 +254,29 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         causal: causal masking with the diagonal aligned to the end of the
             kv axis (supports cached prefixes where Sk > Sq).
         kv_len: optional [B] valid kv lengths (padding mask).
+        kv_valid: optional [B, Sk] per-key validity mask.
+        kv_window: optional ``(pcol, window, acol, gcnt)`` scalar form of
+            the continuous batcher's rotating-window validity. PURELY an
+            optimization hint: it must describe the same mask as
+            ``kv_valid`` (required alongside it), and only the fused decode
+            kernel consumes it — reconstructing the mask from an in-kernel
+            iota instead of streaming a pre-repeated [B, Sk, H] mask. Every
+            other path uses ``kv_valid``; when the kernel takes the window,
+            the kv_valid build is dead code XLA removes.
         bias: optional additive bias [B|1, H|1, Sq, Sk] (XLA path only).
         impl: "auto" (Pallas on TPU when applicable, else XLA), "flash", "xla".
     """
+    if kv_window is not None and kv_valid is None:
+        raise ValueError("kv_window is an optimization hint for kv_valid "
+                         "and requires it (non-kernel paths mask with "
+                         "kv_valid)")
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (on_tpu and q.shape[2] == 1 and kv_layout == "bshd"
+        # Interpret mode counts as "TPU" for the decode-kernel gate so CPU
+        # parity tests can exercise the exact product dispatch.
+        if ((on_tpu or pallas_interpret()) and q.shape[2] == 1
+                and kv_layout == "bshd"
                 and not causal and bias is None and prefix_len is None
                 and k_scale is not None and v_scale is not None
                 and k.shape[2] > 1
@@ -289,7 +306,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 "layout, no causal/bias/prefix masks")
         from .decode_attention import flash_decode_attention
         return flash_decode_attention(q, k, v, kv_len=kv_len,
-                                      kv_valid=kv_valid, k_scale=k_scale,
+                                      kv_valid=kv_valid,
+                                      kv_window=kv_window, k_scale=k_scale,
                                       v_scale=v_scale)
     if impl == "flash":
         if bias is not None or prefix_len is not None or \
