@@ -96,6 +96,7 @@ class VLMModel:
         self.quantize_vision = resolve_quantize_vision(quantize_vision)
         self.vision_quant_bits = (self.policy.quantized_bits
                                   if self.quantize_vision else 0)
+        from ..core.mesh import MODEL_AXIS
         self.module, self.params = init_vlm(
             self.cfg, jax.random.key(seed),
             dtype=self.policy.compute_dtype,
@@ -103,7 +104,9 @@ class VLMModel:
             else jnp.bfloat16,
             attn_impl=attn_impl,
             quant_bits=self.policy.quantized_bits,
-            vision_quant_bits=self.vision_quant_bits)
+            vision_quant_bits=self.vision_quant_bits,
+            model_ways=(self.mesh.shape[MODEL_AXIS]
+                        if self.mesh is not None else 1))
         self._maybe_load_weights()
         if self.mesh is not None:
             from ..parallel.sharding import shard_params

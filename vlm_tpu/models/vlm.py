@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .configs import VLMConfig
 from .decoder import Decoder, init_kv_cache
@@ -204,12 +205,81 @@ def num_image_tokens(cfg: VLMConfig) -> int:
     return n
 
 
+def _device_hbm_limit() -> Optional[int]:
+    """Per-chip HBM capacity in bytes, or None when unknowable.
+
+    Only TPU devices report a trustworthy ``bytes_limit``; CPU/virtual
+    backends return None so the fit check is skipped there.
+    """
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != "tpu":
+            return None
+        stats = dev.memory_stats()
+        return stats.get("bytes_limit") if stats else None
+    except Exception:  # pragma: no cover - backend without memory_stats
+        return None
+
+
+def param_bytes(module: VLMModule, cfg: VLMConfig) -> int:
+    """Exact parameter footprint in bytes, computed without allocating.
+
+    ``jax.eval_shape`` abstracts the init, so quantized int8/int4-packed
+    weight tables and fp scales are all counted at their true dtypes.
+    """
+    px = jax.ShapeDtypeStruct(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3), module.dtype)
+    ids = jax.ShapeDtypeStruct((1, 2), jnp.int32)
+    shapes = jax.eval_shape(module.init, jax.random.key(0), px, ids, ids)
+    return sum(int(np.prod(s.shape)) * s.dtype.itemsize
+               for s in jax.tree_util.tree_leaves(shapes))
+
+
+def check_hbm_fit(module: VLMModule, cfg: VLMConfig,
+                  model_ways: int = 1) -> None:
+    """Reject a build whose weights alone cannot fit per-chip HBM.
+
+    The reference escapes this situation by spilling fp32 leftovers to host
+    RAM (``llm_int8_enable_fp32_cpu_offload`` + ``device_map="auto"``,
+    `/root/reference/models/base_model.py:88,95`); host offload is a
+    measured non-goal here (docs/MIGRATION.md "CPU offload"), so the
+    TPU-native alternatives are named in the error instead. Weights-only is
+    deliberately the floor: KV cache and activations come on top, so a
+    weights-don't-fit verdict is certain, never a false positive. Set
+    ``VLM_TPU_SKIP_FIT_CHECK=1`` to bypass.
+    """
+    import os
+    if os.environ.get("VLM_TPU_SKIP_FIT_CHECK") == "1":
+        return
+    limit = _device_hbm_limit()
+    if limit is None:
+        return
+    total = param_bytes(module, cfg)
+    per_chip = total // max(model_ways, 1)
+    if per_chip <= limit:
+        return
+    need_ways = -(-total // limit)  # ceil: TP ways for weights alone
+    raise ValueError(
+        f"Model weights ({total / 2**30:.1f} GiB"
+        + (f", {per_chip / 2**30:.1f} GiB/chip over model={model_ways}"
+           if model_ways > 1 else "")
+        + f") exceed per-chip HBM ({limit / 2**30:.1f} GiB) before any KV "
+        f"cache or activations. The reference would spill to host RAM "
+        f"(llm_int8_enable_fp32_cpu_offload); that is a measured non-goal "
+        f"on TPU (docs/MIGRATION.md). Use `quantization: 8bit` (or 4bit) "
+        f"to shrink the weights, or shard them with tensor parallelism: "
+        f"`mesh: {{model: {max(need_ways, 2)}}}` (weights-only bound; "
+        f"leave headroom for the KV cache).")
+
+
 def init_vlm(cfg: VLMConfig, rng: jax.Array, dtype=jnp.bfloat16,
              param_dtype=jnp.float32, attn_impl: str = "auto",
-             quant_bits: int = 0, vision_quant_bits: int = 0):
+             quant_bits: int = 0, vision_quant_bits: int = 0,
+             model_ways: int = 1):
     module = VLMModule(cfg, dtype=dtype, param_dtype=param_dtype,
                        attn_impl=attn_impl, quant_bits=quant_bits,
                        vision_quant_bits=vision_quant_bits)
+    check_hbm_fit(module, cfg, model_ways=model_ways)
     px = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
                    dtype)
     pre = jnp.zeros((1, 2), jnp.int32)
@@ -218,4 +288,5 @@ def init_vlm(cfg: VLMConfig, rng: jax.Array, dtype=jnp.bfloat16,
     return module, params
 
 
-__all__ = ["VLMModule", "init_vlm", "init_kv_cache", "num_image_tokens"]
+__all__ = ["VLMModule", "init_vlm", "init_kv_cache", "num_image_tokens",
+           "param_bytes", "check_hbm_fit"]
