@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
 # Pallas kernels run in interpreter mode on the CPU backend.
 os.environ.setdefault("VLM_TPU_PALLAS_INTERPRET", "1")
 
+# Persistent XLA compile cache, shared by the suite's many subprocess tests
+# (CLI scripts, bench, multiproc): the same tiny-model prefill/decode
+# programs otherwise recompile in every process. Set via env so child
+# processes inherit it; keyed by backend+flags, so the 8-virtual-device CPU
+# config caches separately from any TPU use of the same dir.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.environ.get("TMPDIR", "/tmp"), "vlm_tpu_test_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 # Force the CPU backend via jax.config (NOT the JAX_PLATFORMS env var: this
 # environment's TPU plugin re-registers itself at interpreter startup and
 # overrides the env var, leaving a broken mixed state that hangs on first
