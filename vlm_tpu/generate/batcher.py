@@ -397,8 +397,13 @@ class ContinuousBatcher:
         with ``sync_every=0`` a chunk can span up to ``max_new_tokens``
         steps, so a slot that finished early in a long chunk reports the
         chunk's end time. This is the honest *host-observable* latency (a
-        caller could not have acted sooner); set a modest ``sync_every``
-        when tight latency percentiles are the measurement target.
+        caller could not have acted sooner). Measured (r4 sweep,
+        IMPLEMENTATION_NOTES "sync_every latency recipe"): while groups
+        keep arriving the pipelined loop already syncs once per admission
+        cycle, so ``sync_every>0`` does NOT tighten p50/p99 at the
+        headline workload — it only costs throughput (−6…−15%). The knob
+        remains for step-capped measurement runs (e.g. fixed-step phase
+        decomposition); tail control in deployment is ``max_new_tokens``.
 
         Loop selection: ``sync_every=0`` (default) runs the pipelined loop —
         admit/chunk programs for cycle k+1 are enqueued before cycle k's
