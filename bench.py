@@ -39,7 +39,8 @@ notes. VLM_TPU_BENCH_VARIANTS=0 skips them (single-config mode, used by CI
 and by the variant subprocesses themselves).
 
 Env knobs: VLM_TPU_BENCH_MODEL (paligemma|llava|blip2, default paligemma),
-VLM_TPU_BENCH_SIZE (default "3b"; "test" for CI),
+VLM_TPU_BENCH_SIZE (default: the family's canonical size — paligemma 3b,
+blip2 6.7b, llava 7b; "test" for CI),
 VLM_TPU_BENCH_N (measured images, default 512; batch-fill ramp and drain amortize at 4x batch),
 VLM_TPU_BENCH_BATCH (default 128), VLM_TPU_BENCH_TOKENS (max cap, default 100),
 VLM_TPU_BENCH_SEQ_N (sequential-baseline images; 0 skips),
@@ -81,7 +82,12 @@ def main():
     from PIL import Image
 
     model_name = os.environ.get("VLM_TPU_BENCH_MODEL", "paligemma")
-    size = os.environ.get("VLM_TPU_BENCH_SIZE", "3b")
+    # Default size label = the family's canonical decoder size (any
+    # non-"test" string builds the same full-size config, but the metric
+    # name carries it — "blip2_3b_..." would mislabel OPT-6.7B).
+    size = os.environ.get("VLM_TPU_BENCH_SIZE") or \
+        {"paligemma": "3b", "blip2": "6.7b", "llava": "7b"}.get(
+            model_name, "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "512"))
     # 128 slots / admit 32 measured best on v5e with adaptive chunks (round
