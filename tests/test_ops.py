@@ -101,6 +101,56 @@ class TestAttention:
         with pytest.raises(ValueError):
             attention(q, k, v, bias=jnp.zeros((2, 4, 8, 8)), impl="flash")
 
+    @pytest.mark.parametrize("d", [72, 88])
+    def test_flash_offwidth_head_dim_matches_xla(self, d):
+        # ViT head dims (SigLIP 72, EVA-g 88) are zero-padded to the lane
+        # width inside _flash_attention — exact, since zero q/k columns
+        # add nothing to the scores and padded v columns are sliced away.
+        q, k, v = self._qkv(d=d)
+        a = attention(q, k, v, causal=False, impl="xla")
+        b = attention(q, k, v, causal=False, impl="flash")
+        assert b.shape == a.shape
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def test_flash_rejects_wide_head_dim(self):
+        q, k, v = self._qkv(d=288)
+        with pytest.raises(ValueError):
+            attention(q, k, v, impl="flash")
+
+    def test_flash_prefix_lm_matches_xla(self):
+        # PaliGemma prefill: bidirectional prefix + causal suffix, with
+        # per-row padding lengths (the product call shape in
+        # models/decoder.py — prefix_len and kv_len together).
+        q, k, v = self._qkv(s=16)
+        prefix = jnp.array([6, 11])
+        a = attention(q, k, v, causal=True, prefix_len=prefix, impl="xla")
+        b = attention(q, k, v, causal=True, prefix_len=prefix, impl="flash")
+        assert float(jnp.abs(a - b).max()) < 1e-5
+        kv_len = jnp.array([9, 16])
+        a = attention(q, k, v, causal=True, prefix_len=prefix, kv_len=kv_len,
+                      impl="xla")
+        b = attention(q, k, v, causal=True, prefix_len=prefix, kv_len=kv_len,
+                      impl="flash")
+        # Query rows beyond kv_len see garbage in both impls (discarded
+        # downstream); compare the valid rows.
+        assert float(jnp.abs(a[0, :, :9] - b[0, :, :9]).max()) < 1e-5
+        assert float(jnp.abs(a[1] - b[1]).max()) < 1e-5
+
+    def test_flash_prefix_actually_widens_mask(self):
+        # Sanity that prefix positions really are visible: with prefix over
+        # the full row, flash(causal+prefix) == flash(non-causal).
+        q, k, v = self._qkv(s=12)
+        full = jnp.array([12, 12])
+        a = attention(q, k, v, causal=False, impl="flash")
+        b = attention(q, k, v, causal=True, prefix_len=full, impl="flash")
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def test_flash_rejects_noncausal_prefix(self):
+        q, k, v = self._qkv(s=8)
+        with pytest.raises(ValueError):
+            attention(q, k, v, causal=False, prefix_len=jnp.array([2, 3]),
+                      impl="flash")
+
 
 class TestGQAAttention:
     def _gqa(self, b=2, h=8, kvh=2, s=32, d=64, seed=0):

@@ -109,31 +109,43 @@ def _xla_attention(q, k, v, *, causal: bool, scale: float,
     return out.reshape(b, h, sq, d)
 
 
-def _flash_kernel(kvl_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  causal: bool, offset: int, masked: bool, heads: int):
+def _flash_kernel(kvl_ref, pfx_ref, q_ref, k_ref, v_ref, o_ref, *,
+                  scale: float, causal: bool, offset: int, masked: bool,
+                  prefix: bool, heads: int):
     """One (batch*head, q_tile) program: full-K/V fused attention.
 
     ``offset = sk - sq`` aligns the causal diagonal to the end of the kv axis
-    (cached-prefix decoding). ``kvl_ref`` is a scalar-prefetch [B] vector of
-    valid kv lengths when ``masked``. Padded query rows attend unmasked;
-    their outputs are sliced away by the caller.
+    (cached-prefix decoding). ``kvl_ref``/``pfx_ref`` are scalar-prefetch [B]
+    vectors of valid kv lengths (when ``masked``) and prefix-LM lengths (when
+    ``prefix`` — the first pfx positions are visible to every query,
+    bidirectional prefix + causal suffix, matching _xla_attention). Padded
+    query rows attend unmasked; their outputs are sliced away by the caller.
     """
     from jax.experimental import pallas as pl
 
-    q = q_ref[0].astype(jnp.float32)                 # [Tq, D]
-    k = k_ref[0].astype(jnp.float32)                 # [Sk, D]
+    # q/k enter the dot in their stored dtype with fp32 ACCUMULATION —
+    # bf16×bf16→fp32 is the MXU's native mode. Upcasting the operands to
+    # fp32 first (the original form) silently dropped the score matmul to
+    # fp32 MXU throughput (~1/4 of bf16 on v5e) and made the kernel MORE
+    # precise than the _xla_attention reference, whose einsum also feeds
+    # bf16 operands with preferred_element_type=f32.
+    q = q_ref[0]                                     # [Tq, D]
+    k = k_ref[0]                                     # [Sk, D]
     v = v_ref[0]                                     # [Sk, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [Tq, Sk]
     ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    g = pl.program_id(0)
     if causal:
         i = pl.program_id(1)
         tq = q.shape[0]
         qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * tq
-        s = jnp.where(ki <= qi + offset, s, NEG_INF)
+        allowed = ki <= qi + offset
+        if prefix:
+            allowed |= ki < pfx_ref[g // heads]
+        s = jnp.where(allowed, s, NEG_INF)
     if masked:
-        g = pl.program_id(0)
         s = jnp.where(ki < kvl_ref[g // heads], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -145,8 +157,8 @@ def _flash_kernel(kvl_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "q_tile", "heads"))
-def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
-                     q_tile: int = 256):
+def _flash_attention(q, k, v, kv_len=None, prefix_len=None, *, causal: bool,
+                     heads: int, q_tile: int = 256):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,6 +166,19 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
     kvh, sk = k.shape[1], k.shape[2]
     group = h // kvh
     scale = d ** -0.5
+    # Lane-width head dims: Mosaic wants D ∈ {64, 128, 256}. Off-width
+    # heads (SigLIP/EVA ViTs: 72, 88) are zero-padded up — exact, since
+    # zero q/k columns contribute nothing to the scores and the padded v
+    # columns are sliced away below. scale uses the TRUE head dim.
+    d_orig = d
+    if d not in (64, 128, 256):
+        if d > 256:
+            raise ValueError(f"flash impl supports head_dim <= 256, got {d}")
+        d = 64 if d < 64 else (128 if d < 128 else 256)
+        padd = ((0, 0), (0, 0), (0, 0), (0, d - d_orig))
+        q = jnp.pad(q, padd)
+        k = jnp.pad(k, padd)
+        v = jnp.pad(v, padd)
     bh = b * h
     q3 = q.reshape(bh, sq, d)
     # Grouped-query support: KV stays at kvh heads; the index map routes
@@ -164,6 +189,10 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
     if kv_len is None:
         kv_len = jnp.full((b,), sk, jnp.int32)
     kvl = kv_len.astype(jnp.int32)
+    prefix = prefix_len is not None
+    if prefix_len is None:
+        prefix_len = jnp.zeros((b,), jnp.int32)
+    pfx = prefix_len.astype(jnp.int32)
 
     tq = min(q_tile, sq)
     # Pad sq up to a tile multiple; padded queries attend to everything but
@@ -177,29 +206,33 @@ def _flash_attention(q, k, v, kv_len=None, *, causal: bool, heads: int,
         return (g // h) * kvh + (g % h) // group
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
+            pl.BlockSpec((1, tq, d), lambda g, i, *_: (g, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (kv_row(g), 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, *_: (kv_row(g), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda g, i, kvl_ref: (kv_row(g), 0, 0),
+            pl.BlockSpec((1, sk, d), lambda g, i, *_: (kv_row(g), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, d), lambda g, i, kvl_ref: (g, i, 0),
+        out_specs=pl.BlockSpec((1, tq, d), lambda g, i, *_: (g, i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, causal=causal,
-                          offset=sk - sq, masked=masked, heads=heads),
+                          offset=sk - sq, masked=masked, prefix=prefix,
+                          heads=heads),
         out_shape=jax.ShapeDtypeStruct((bh, sq + pad, d), q.dtype),
         grid_spec=grid_spec,
         interpret=pallas_interpret(),
-    )(kvl, q3, k3, v3)
+    )(kvl, pfx, q3, k3, v3)
     if pad:
         out = out[:, :sq]
-    return out.reshape(b, h, sq, d)
+    out = out.reshape(b, h, sq, d)
+    if d != d_orig:
+        out = out[..., :d_orig]
+    return out
 
 
 # ------------------------- differentiable wrapper -------------------------
@@ -294,6 +327,20 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             # the kernel is kept for long-context decode regimes.
             impl = "flash_decode"
         else:
+            # Measured gate (scripts/bench_attn_shapes.py, r4, v5e, 32-iter
+            # scan-amortized per-layer ms at the product shapes):
+            #   opt_prefill   S=1030 d=128: xla 17.05  flash 10.15  (1.68x)
+            #   vicuna_prefill S=806 d=128: xla 10.67  flash  7.55  (1.41x)
+            #   clip_tower    S=577  d=64 : xla  2.99  flash  2.69  (1.11x)
+            #   siglip_tower  S=256  d=72 : xla  1.14  flash  1.28  (0.89x)
+            #   eva_tower     S=257  d=88 : xla  1.43  flash  2.03  (0.71x)
+            #   gemma prefix  S=404  d=256: xla  1.37  flash  1.51  (0.91x)
+            # Off-width head dims (ViT 72/88) pad to the lane width inside
+            # _flash_attention — exact but 0.7-0.9x at tower shapes, so auto
+            # keeps them on XLA; the padded path stays an explicit-impl
+            # capability. Prefix-LM (PaliGemma prefill) is kernel-native when
+            # causal but loses at the short S=404 product shape — auto keeps
+            # it on XLA too (explicit "flash" serves long-prefix regimes).
             use_flash = (on_tpu and bias is None and prefix_len is None
                          and kv_valid is None and kv_layout == "bhsd"
                          and q.shape[-1] in (64, 128, 256))
@@ -310,23 +357,23 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                       kv_window=kv_window, k_scale=k_scale,
                                       v_scale=v_scale)
     if impl == "flash":
-        if bias is not None or prefix_len is not None or \
+        if bias is not None or (prefix_len is not None and not causal) or \
                 kv_valid is not None or kv_layout != "bhsd" or \
                 k_scale is not None or v_scale is not None:
             raise ValueError(
-                "flash impl does not support additive bias / prefix masks / "
-                "kv_valid masks / bshd kv layout / cache scales")
-        if q.shape[-1] not in (64, 128, 256):
+                "flash impl does not support additive bias / non-causal "
+                "prefix masks / kv_valid masks / bshd kv layout / cache "
+                "scales")
+        if q.shape[-1] > 256:
             # the same gate the auto path applies — an explicit "flash"
             # with an unsupported head_dim would otherwise surface as an
             # opaque Mosaic lowering error
             raise ValueError(
-                f"flash impl supports head_dim in (64, 128, 256), "
-                f"got {q.shape[-1]}")
-        if kv_len is None:
+                f"flash impl supports head_dim <= 256, got {q.shape[-1]}")
+        if kv_len is None and prefix_len is None:
             # differentiable: fused forward + XLA-derived backward
             return _flash_attention_diff(q, k, v, causal, q.shape[1])
-        return _flash_attention(q, k, v, kv_len, causal=causal,
+        return _flash_attention(q, k, v, kv_len, prefix_len, causal=causal,
                                 heads=q.shape[1])
     if k.dtype == jnp.int8:
         # int8 cache reaching the XLA path (MQA, CPU, or
