@@ -333,7 +333,7 @@ def main():
     if os.environ.get("VLM_TPU_BENCH_VARIANTS", "1") != "0" \
             and size != "test":
         result["variants"] = run_variants()
-    print(json.dumps(result), flush=True)
+    print(json.dumps(result), file=sys.__stdout__, flush=True)
 
 
 # Documented per-family best recipes (IMPLEMENTATION_NOTES round-3 family
@@ -415,4 +415,8 @@ def run_variants():
 
 
 if __name__ == "__main__":
+    # Contract: stdout carries EXACTLY one JSON line. Library status prints
+    # (model-ready, sharding notices, parse warnings) are routed to stderr
+    # for the bench process only; the final JSON goes to sys.__stdout__.
+    sys.stdout = sys.stderr
     main()

@@ -34,7 +34,9 @@ def test_bench_emits_one_json_line(prompt_ids):
                          capture_output=True, text=True, timeout=420,
                          env=env)
     assert res.returncode == 0, res.stderr[-3000:]
-    lines = [l for l in res.stdout.splitlines() if l.strip().startswith("{")]
+    # Strict contract: stdout carries EXACTLY one line, and it is JSON —
+    # library status prints must ride stderr (bench.py redirects them).
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, res.stdout
     payload = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline",
