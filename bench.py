@@ -361,6 +361,23 @@ VARIANTS = [
                 "VLM_TPU_BENCH_N": "256"},
     },
     {
+        # Realistic-tokenizer regime: 60-id text prompt (what a real
+        # SentencePiece/BPE checkpoint produces) instead of the ~370-id
+        # byte-fallback inflation — the regime a production deployment
+        # actually runs, and BLIP-2's best number (its 32 Q-Former image
+        # tokens make the text prompt the dominant prefill cost).
+        "label": "blip2_6.7b_8bit_64slot_int8kv_realistic_prompt",
+        "recipe": "BLIP-2 best recipe at realistic 60-id text prompt",
+        "env": {"VLM_TPU_BENCH_MODEL": "blip2",
+                "VLM_TPU_BENCH_QUANT": "8bit",
+                "VLM_TPU_INT8_PREFILL": "dynamic_noout",
+                "VLM_TPU_QUANT_VISION": "1",
+                "VLM_TPU_KV_CACHE": "int8",
+                "VLM_TPU_BENCH_BATCH": "64",
+                "VLM_TPU_BENCH_N": "256",
+                "VLM_TPU_BENCH_PROMPT_IDS": "60"},
+    },
+    {
         "label": "llava_7b_8bit_16slot_int8kv",
         "recipe": "LLaVA-7B 8bit noout, 16 slots, int8 KV",
         "env": {"VLM_TPU_BENCH_MODEL": "llava",
