@@ -201,6 +201,48 @@ def masked_cross_entropy(logits: jax.Array, targets: jax.Array,
                      0.0)
 
 
+def partition_float_params(params):
+    """Split a param pytree into (trainable float leaves, frozen non-float
+    leaves + structure) so grads are taken only over differentiable leaves.
+
+    Quantized models carry int8/int4 ``q_kernel`` leaves (ops/quant.py) that
+    ``jax.grad`` cannot differentiate; the reference's analogue freezes
+    bitsandbytes Int8Params via requires_grad=False. Returns
+    ``(float_leaves, merge)`` where ``merge(float_leaves)`` rebuilds the full
+    pytree — use inside the loss so the grad tree is float-only::
+
+        float_leaves, merge = partition_float_params(params)
+        def loss_fn(fl):
+            p = merge(fl)
+            ...
+        grads = jax.grad(loss_fn)(float_leaves)
+
+    Flax ``Partitioned`` boxes are treated as leaves (their metadata rides
+    along with the value, keeping shardings intact through the optimizer).
+    """
+    import flax.linen as nn
+
+    def _is_boxed(x):
+        return isinstance(x, nn.Partitioned)
+
+    def _arr(x):
+        return x.unbox() if _is_boxed(x) else x
+
+    flat, treedef = jax.tree.flatten(params, is_leaf=_is_boxed)
+    float_idx = [i for i, l in enumerate(flat)
+                 if jnp.issubdtype(jnp.asarray(_arr(l)).dtype, jnp.inexact)]
+    frozen = [None if i in set(float_idx) else l for i, l in enumerate(flat)]
+    float_leaves = [flat[i] for i in float_idx]
+
+    def merge(new_float_leaves):
+        out = list(frozen)
+        for i, leaf in zip(float_idx, new_float_leaves):
+            out[i] = leaf
+        return jax.tree.unflatten(treedef, out)
+
+    return float_leaves, merge
+
+
 # ---------------- checkpoint helpers ----------------
 def save_state(model_path: Path, state_dicts: dict):
     """Serialize a blob of pytrees (msgpack) — the ``model.pt`` analogue
