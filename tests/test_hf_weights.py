@@ -29,7 +29,8 @@ def _fake_llava_checkpoint(tmp_path, cfg):
     p = "vision_tower.vision_model"
     add(f"{p}.embeddings.patch_embedding.weight",
         (v.hidden, 3, v.patch_size, v.patch_size))
-    add(f"{p}.embeddings.patch_embedding.bias", (v.hidden,))
+    # NB: CLIP's patch conv is bias-free (verified by the vendored
+    # llava-1.5-7b-hf manifest) — no patch_embedding.bias here.
     add(f"{p}.embeddings.class_embedding", (v.hidden,))
     add(f"{p}.embeddings.position_embedding.weight", (v.seq_len, v.hidden))
     add(f"{p}.pre_layrnorm.weight", (v.hidden,))

@@ -35,6 +35,7 @@ class ViTConfig:
     # CLS ("pooled_only", CLIP — its last_hidden_state is NOT post-normed).
     post_layernorm: str = "all"
     k_bias: bool = True                 # EVA ViT-g has no bias on K
+    patch_bias: bool = True             # CLIP's patch conv is bias-free
     layer_norm_eps: float = 1e-5
 
     @property
@@ -114,7 +115,7 @@ class VLMConfig:
 CLIP_L_336 = ViTConfig(
     image_size=336, patch_size=14, hidden=1024, layers=24, heads=16,
     mlp_dim=4096, act="quick_gelu", use_cls_token=True, pre_layernorm=True,
-    post_layernorm="pooled_only", layer_norm_eps=1e-5)
+    post_layernorm="pooled_only", patch_bias=False, layer_norm_eps=1e-5)
 
 SIGLIP_SO400M_224 = ViTConfig(
     image_size=224, patch_size=14, hidden=1152, layers=27, heads=16,

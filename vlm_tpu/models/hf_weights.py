@@ -16,6 +16,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,34 @@ def _normalize_hf_keys(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+class _Filled:
+    """Dry-run sentinel: marks a param leaf as written by the converter.
+
+    `validate_vlm_conversion` runs the converters over a tree of
+    ``jax.ShapeDtypeStruct`` leaves (from ``jax.eval_shape`` of the
+    production-size init); `_set` stores this marker instead of
+    materializing arrays, so full 7B-shape conversions validate in
+    milliseconds of memory. Any leaf still a ShapeDtypeStruct afterwards
+    was never touched by the key mapping.
+    """
+    __slots__ = ("shape", "dtype")
+
+    def __init__(self, shape, dtype):
+        self.shape, self.dtype = tuple(shape), dtype
+
+
+class _TrackingDict(dict):
+    """Records which checkpoint keys the converters actually read."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
 def _t(x):  # torch linear [out, in] -> flax kernel [in, out]
     return np.ascontiguousarray(x.T)
 
@@ -91,7 +120,12 @@ def _set(tree: Dict, path: str, value, expect_shape=True):
         raise ValueError(
             f"shape mismatch at {path}: ours {tuple(old_arr.shape)} "
             f"vs checkpoint {tuple(value.shape)}")
-    new = jnp.asarray(value, dtype=old_arr.dtype)
+    if isinstance(old_arr, jax.ShapeDtypeStruct):
+        # Dry-run validation over an eval_shape tree: record the fill
+        # without materializing a production-size array.
+        new = _Filled(value.shape, old_arr.dtype)
+    else:
+        new = jnp.asarray(value, dtype=old_arr.dtype)
     node[keys[-1]] = old.replace_boxed(new) if boxed else new
 
 
@@ -109,6 +143,34 @@ def _set_quantized(node: Dict, path: str, value):
     q_old = unboxed(node["q_kernel"])
     s_old = unboxed(node["scale"])
     in_dim, out_dim = value.shape
+    if isinstance(q_old, jax.ShapeDtypeStruct):
+        # Dry-run: derive the quantized shapes analytically (int8: q [in,
+        # out] / scale [1, out]; int4: pair-packed q [in/2, out] / grouped
+        # scale [in/group, out]) and check them against the eval_shape tree.
+        if q_old.shape[0] == in_dim:
+            q_shape, s_shape = (in_dim, out_dim), (1, out_dim)
+        else:
+            q_shape = (in_dim // 2, out_dim)
+            s_shape = (s_old.shape[0], out_dim)
+            if in_dim % s_old.shape[0]:
+                raise ValueError(
+                    f"int4 group mismatch at {path}: in={in_dim} not "
+                    f"divisible by groups={s_old.shape[0]}")
+        if q_shape != tuple(q_old.shape) or s_shape != tuple(s_old.shape):
+            raise ValueError(
+                f"quantized shape mismatch at {path}: "
+                f"q {q_shape} vs {tuple(q_old.shape)}, "
+                f"scale {s_shape} vs {tuple(s_old.shape)}")
+
+        def rebox(old, new):
+            return old.replace_boxed(new) if isinstance(old, nn.Partitioned) \
+                else new
+
+        node["q_kernel"] = rebox(node["q_kernel"],
+                                 _Filled(q_shape, q_old.dtype))
+        node["scale"] = rebox(node["scale"], _Filled(s_shape, s_old.dtype))
+        return
+
     if q_old.shape[0] == in_dim:            # int8: q [in, out], scale [1, out]
         qw = quantize_int8(jnp.asarray(value, jnp.float32))
     else:                                   # int4: q [in/2, out], grouped scale
@@ -340,20 +402,12 @@ def convert_qformer(hf: Dict[str, np.ndarray], proj_tree: Dict,
          g("language_projection.bias"))
 
 
-def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
-    """Convert a local HF checkpoint directory into our param tree.
-
-    Currently wired: LLaVA (CLIP tower + LLaMA decoder + MLP projector),
-    BLIP-2 vision tower, PaliGemma (SigLIP tower + Gemma via the LLaMA-style
-    names). Raises with a clear message for unmapped tensors rather than
-    silently keeping random init.
+def _convert_family(family: str, cfg, hf: Dict[str, np.ndarray], tree: Dict):
+    """Run the family's converters over ``tree["params"]``-style subtrees
+    (mutates ``tree`` in place). Shared by :func:`load_vlm_weights` (real
+    arrays) and :func:`validate_vlm_conversion` (ShapeDtypeStruct dry run).
     """
-    hf = _load_safetensors(Path(path))
-    import jax
-    params = jax.tree.map(np.asarray, params)  # mutable host copy
-    tree = params["params"]
     v = cfg.vision
-
     if family == "llava":
         convert_clip_vision(hf, tree["vision"], v.layers,
                             prefix="vision_tower.vision_model")
@@ -385,4 +439,95 @@ def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
     else:
         raise ValueError(f"unknown family {family}")
 
+
+def load_vlm_weights(family: str, cfg, path: Path, params: Dict) -> Dict:
+    """Convert a local HF checkpoint directory into our param tree.
+
+    Currently wired: LLaVA (CLIP tower + LLaMA decoder + MLP projector),
+    BLIP-2 vision tower, PaliGemma (SigLIP tower + Gemma via the LLaMA-style
+    names). Raises with a clear message for unmapped tensors rather than
+    silently keeping random init.
+    """
+    hf = _load_safetensors(Path(path))
+    params = jax.tree.map(np.asarray, params)  # mutable host copy
+    _convert_family(family, cfg, hf, params["params"])
     return jax.tree.map(jnp.asarray, params)
+
+
+#: Checkpoint keys that legitimately go unconsumed by the converters:
+#: non-persistent index buffers some transformers versions serialized, rope
+#: frequency tables (recomputed from config), and tied lm_head duplicates
+#: (torch ``.bin``-era saves kept the shared tensor; our tied decoders read
+#: the embedding instead — see Decoder.setup / cfg.tie_embeddings).
+_IGNORABLE_UNCONSUMED = (
+    ".position_ids",
+    ".rotary_emb.inv_freq",
+    "language_model.lm_head.weight",
+)
+
+
+def validate_vlm_conversion(family: str, cfg, manifest: Dict[str, Dict],
+                            dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                            quant_bits: int = 0) -> Dict[str, list]:
+    """Prove the key mapping consumes a real checkpoint's full key set and
+    fills every param leaf — at *production* shapes, without weights.
+
+    ``manifest`` maps checkpoint tensor names to ``{"shape": [...],
+    "dtype": "float16"}`` (vendored from the hub layouts; see
+    ``scripts/gen_hf_manifests.py``). The source tensors are zero-strided
+    ``np.broadcast_to`` views and the target tree comes from
+    ``jax.eval_shape`` of the full-size init, so a 7B validation allocates
+    ~nothing. Returns ``{"unconsumed": [...], "unfilled": [...]}`` —
+    both empty for a correct mapping. Tied-weight duplicates and legacy
+    buffer keys (``*.position_ids``, rope ``inv_freq``) are ignorable;
+    anything else unconsumed is a mapping gap.
+
+    Reference: the checkpoints this validates are the reference's defaults
+    (`/root/reference/models/llava.py:24`, `paligemma.py:37`, `blip2.py:24`).
+    """
+    from .vlm import VLMModule
+
+    src = {}
+    for key, meta in manifest.items():
+        dt = np.dtype(str(meta["dtype"]))
+        src[key] = np.broadcast_to(np.zeros((), dt), tuple(meta["shape"]))
+    hf = _TrackingDict(_normalize_hf_keys(src))
+
+    module = VLMModule(cfg, dtype=dtype, param_dtype=param_dtype,
+                       quant_bits=quant_bits)
+    px = jax.ShapeDtypeStruct(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3), dtype)
+    ids = jax.ShapeDtypeStruct((1, 2), jnp.int32)
+    shapes = jax.eval_shape(module.init, jax.random.key(0), px, ids, ids)
+
+    # eval_shape may return an immutable FrozenDict-like tree; deep-copy
+    # into plain mutable dicts for in-place _set.
+    import flax
+
+    def to_mutable(node):
+        if isinstance(node, (dict,)) or hasattr(node, "items") and \
+                not hasattr(node, "unbox"):
+            return {k: to_mutable(v) for k, v in node.items()}
+        return node
+
+    tree = to_mutable(flax.core.unfreeze(shapes))
+    _convert_family(family, cfg, hf, tree["params"])
+
+    unconsumed = sorted(
+        k for k in hf
+        if k not in hf.consumed
+        and not any(k.endswith(s) or k == s for s in _IGNORABLE_UNCONSUMED))
+
+    unfilled = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+            return
+        leaf = node.unbox() if hasattr(node, "unbox") else node
+        if not isinstance(leaf, _Filled):
+            unfilled.append(path)
+
+    walk(tree["params"], "params")
+    return {"unconsumed": unconsumed, "unfilled": sorted(unfilled)}

@@ -105,7 +105,8 @@ class ViTEncoder(nn.Module):
         # Patch embedding: convolution stride=patch → tokens. XLA lowers this
         # conv to an MXU matmul over unfolded patches.
         x = nn.Conv(cfg.hidden, kernel_size=(cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), use_bias=True,
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    use_bias=cfg.patch_bias,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="patch_embed")(pixels.astype(self.dtype))
         x = x.reshape(b, -1, cfg.hidden)
