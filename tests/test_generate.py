@@ -363,6 +363,39 @@ class TestFlashDecodeOptIn:
         assert got == ref
 
 
+class TestSplitAdmission:
+    def test_batcher_tokens_identical_under_split_admit(self, monkeypatch):
+        """VLM_TPU_SPLIT_ADMIT=1 dispatches the vision tower as its own
+        program and feeds pre-projected image embeds to the admission
+        program (VERDICT r4 item 5a A/B knob). Same math, different
+        program boundaries — tokens must match the fused path exactly."""
+        from vlm_tpu.models.configs import paligemma_config
+
+        cfg = paligemma_config("test")
+        module, params = init_vlm(cfg, jax.random.key(3), dtype=jnp.float32)
+        t = num_image_tokens(cfg)
+        n, max_new = 5, 4
+        px_all = _pixels(cfg, n, seed=33)
+        pre_row = np.zeros((0,), np.int32)
+        post_row = np.ones((3,), np.int32)
+        plen = t + 3
+
+        def run():
+            batcher = ContinuousBatcher(module, cfg, batch_size=2,
+                                        max_prompt_len=plen,
+                                        max_new_tokens=max_new,
+                                        admit_block=2)
+            return batcher.run(
+                params, pixel_fn=lambda idxs: px_all[jnp.asarray(idxs)],
+                pre_ids_row=pre_row, post_ids_row=post_row,
+                prompt_len_scalar=plen, n_images=n)
+
+        ref = run()                                   # fused admission
+        monkeypatch.setenv("VLM_TPU_SPLIT_ADMIT", "1")
+        got = run()                                   # vision split out
+        assert got == ref
+
+
 class TestSampling:
     def test_greedy_is_argmax(self):
         import jax

@@ -127,6 +127,18 @@ class ContinuousBatcher:
         self._rng = rng if rng is not None else jax.random.key(0)
         self._runs = 0      # folds into the sampling key per run()
 
+        # Split-admission A/B (VERDICT r4 item 5a): run the vision tower as
+        # its own dispatched program and feed pre-projected image embeds to
+        # the admission program, so XLA schedules the int8 prefill dot chain
+        # alone. Default off — the fused program measured faster (see
+        # IMPLEMENTATION_NOTES round-5 admission table); kept as an
+        # env-gated capability for re-measurement on future hardware.
+        import os
+        self.split_admit = os.environ.get("VLM_TPU_SPLIT_ADMIT", "0") == "1"
+        if self.split_admit:
+            self._encode_images = jax.jit(
+                lambda p, px: module.apply(p, px, method="encode_images"))
+
         # The cache is donated: each call's input buffer is dead afterwards,
         # so XLA updates it in place instead of holding a second multi-GB
         # copy in HBM.
@@ -206,9 +218,16 @@ class ContinuousBatcher:
         # scatter — was ~(max_new/cache_len) wasted traffic per admission.
         group_cache = init_kv_cache(self.cfg.decoder, g, self.max_prompt_len,
                                     self.cache_dtype)
-        last, group_cache = self.module.apply(
-            params, pixels, pre_ids, post_ids, group_cache, prompt_len,
-            method="prefill")
+        if pixels.ndim == 3:
+            # Split-admission mode: ``pixels`` carries pre-projected image
+            # embeds [g, T_img, H] from the separate vision program.
+            last, group_cache = self.module.apply(
+                params, None, pre_ids, post_ids, group_cache, prompt_len,
+                method="prefill", image_embeds=pixels)
+        else:
+            last, group_cache = self.module.apply(
+                params, pixels, pre_ids, post_ids, group_cache, prompt_len,
+                method="prefill")
 
         def scatter_one(full, part):
             # full: [B, cache_len, ...]; part: [g, max_prompt_len, ...] —
@@ -480,6 +499,8 @@ class ContinuousBatcher:
                 if max_new_per_image is not None:
                     cap = max(1, min(cap, int(max_new_per_image[idxs[j]])))
                 caps.append(cap)
+            if self.split_admit:
+                pixels = self._encode_images(params, pixels)
             state, cache = self._admit_group(
                 params, pixels, pre_g[g], post_g[g], plen_g[g],
                 jnp.asarray(np.asarray(caps, np.int32)), state, cache)

@@ -377,11 +377,17 @@ class Decoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # dtype=self.dtype so embed.attend computes in the compute dtype
+        # even when param_dtype is wider (fp32 params + bf16 compute) —
+        # without it flax promotes the attend matmul to fp32 and the
+        # logits_dtype contract below ("float32 return is an exact upcast
+        # of the same compute-dtype values") would silently break for the
+        # tied-embedding head while holding for lm_head.
         self.embed = nn.Embed(
             cfg.vocab_size, cfg.hidden,
             embedding_init=nn.with_partitioning(
                 nn.initializers.normal(0.02), ("model", None)),
-            param_dtype=self.param_dtype, name="embed")
+            dtype=self.dtype, param_dtype=self.param_dtype, name="embed")
         if cfg.pos == "learned":
             # OPT: learned positions with a +2 offset quirk.
             self.pos_embed = nn.Embed(
@@ -436,7 +442,9 @@ class Decoder(nn.Module):
         ([B, 1, V]). Essential for prefill: full-sequence logits over a
         250k-vocab decoder would materialize ~10 GB at batch 24.
         ``logits_dtype``: output dtype for the logits (default float32).
-        The lm_head matmul computes in the compute dtype either way, so a
+        The head matmul computes in the compute dtype either way (lm_head
+        is Dense(dtype=self.dtype); the tied embed is built with
+        dtype=self.dtype so attend matches — see setup), so a
         float32 return is an EXACT upcast of the same bf16 values —
         requesting ``self.dtype`` instead changes no value, only the
         materialized buffer: [B, V] fp32 is 132 MB/step at B=128 on

@@ -121,17 +121,23 @@ class VLMModule(nn.Module):
                                      causal=True)
         return logits
 
-    def prefill(self, pixels: jax.Array, pre_ids: jax.Array,
+    def prefill(self, pixels: Optional[jax.Array], pre_ids: jax.Array,
                 post_ids: jax.Array, cache: Dict[str, jax.Array],
-                prompt_len: jax.Array):
+                prompt_len: jax.Array,
+                image_embeds: Optional[jax.Array] = None):
         """Run the prompt through the decoder, writing the KV cache.
 
         Args:
             prompt_len: [B] true merged lengths (pre + T_img + post, minus
                 right padding in post_ids).
+            image_embeds: optional pre-projected image tokens [B, T, H]
+                (from :meth:`encode_images`); supplying them skips the
+                vision tower here, letting callers run vision and prefill
+                as separate programs (the batcher's split-admission mode).
         Returns: (next_token_logits [B, V], cache).
         """
-        img = self.encode_images(pixels)
+        img = image_embeds if image_embeds is not None \
+            else self.encode_images(pixels)
         embeds = self.merge_embeds(pre_ids, img, post_ids)
         b, s, _ = embeds.shape
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))

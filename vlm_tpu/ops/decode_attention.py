@@ -131,6 +131,12 @@ def _decode_kernel(win_ref, qt_ref, k_ref, v_ref, ks_ref, vs_ref, kvv_ref,
         age = jnp.mod(rows - pcol - acol, window)
         live = (rows < jnp.minimum(pcol, s_total)) | (
             (rows < jnp.minimum(pcol + window, s_total)) & (age < gcnt))
+        # kv_len composes with the window (win[b, 0] defaults to s_total
+        # when the caller passes none): a caller passing both gets rows
+        # beyond kv_len masked, not silently unmasked. Same iota-vs-scalar
+        # compare layout as the window predicates, so it folds into the
+        # one select.
+        live = live & (rows < win_ref[b, 0])
         s = jnp.where(live, s, NEG_INF)
     else:
         s = jnp.where(rows < jnp.minimum(s_total, win_ref[b, 0]), s, NEG_INF)
@@ -263,7 +269,9 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     scalar prompt column ``pcol``, static window size ``window`` and per-slot
     [B] admission columns / generated counts — the continuous batcher's
     rotating-window validity as scalars, reconstructed in-kernel for free
-    (preferred over ``kv_valid`` when both describe the same mask). Returns
+    (preferred over ``kv_valid`` when both describe the same mask;
+    ``kv_valid`` is ignored when ``kv_window`` is given, while ``kv_len``
+    composes — rows at or beyond ``kv_len`` are masked in both). Returns
     [B, H, 1, D] in q's dtype; numerics match `_xla_attention(bshd)` for
     every row with at least one live KV position. A fully-masked row
     (kv_len == 0 or kv_valid all-False) diverges by design: this kernel
