@@ -354,9 +354,11 @@ def main():
             model_name, "3b")
     quant = os.environ.get("VLM_TPU_BENCH_QUANT", "bf16")
     n_images = int(os.environ.get("VLM_TPU_BENCH_N", "512"))
-    # 128 slots / admit 32 measured best on v5e with adaptive chunks (round
-    # 2); decode-step cost is nearly flat in batch, so more slots win once
-    # host syncs no longer scale with tokens.
+    # 128 slots measured best on v5e with adaptive chunks (round 2);
+    # decode-step cost is nearly flat in batch, so more slots win once
+    # host syncs no longer scale with tokens. Admission block rides the
+    # batcher default (clamp(B//8, 4, 8) — round-5 sweep) unless
+    # VLM_TPU_BENCH_ADMIT pins it.
     batch = int(os.environ.get("VLM_TPU_BENCH_BATCH", "128"))
     max_tokens = int(os.environ.get("VLM_TPU_BENCH_TOKENS", "100"))
     n_seq = int(os.environ.get("VLM_TPU_BENCH_SEQ_N", "16"))
@@ -496,14 +498,17 @@ def main():
 VARIANTS = [
     {
         "label": "paligemma_3b_8bit_noout_max",
-        "recipe": "3B int8 MXU prefill (dynamic_noout), 128 slots, bf16 KV",
+        "recipe": "3B int8 MXU prefill (dynamic_noout), 128 slots, "
+                  "admit 8, bf16 KV",
         "env": {"VLM_TPU_BENCH_QUANT": "8bit",
                 "VLM_TPU_INT8_PREFILL": "dynamic_noout",
+                "VLM_TPU_BENCH_ADMIT": "8",
                 "VLM_TPU_BENCH_REGIMES": "0,60"},
     },
     {
         "label": "blip2_6.7b_8bit_64slot_int8kv",
-        "recipe": "BLIP-2 OPT-6.7B 8bit noout+qv, 64 slots, int8 KV",
+        "recipe": "BLIP-2 OPT-6.7B 8bit noout+qv, 64 slots, admit 8, "
+                  "int8 KV",
         "env": {"VLM_TPU_BENCH_MODEL": "blip2",
                 "VLM_TPU_BENCH_QUANT": "8bit",
                 "VLM_TPU_INT8_PREFILL": "dynamic_noout",
@@ -511,17 +516,19 @@ VARIANTS = [
                 "VLM_TPU_KV_CACHE": "int8",
                 "VLM_TPU_BENCH_BATCH": "64",
                 "VLM_TPU_BENCH_N": "256",
+                "VLM_TPU_BENCH_ADMIT": "8",
                 "VLM_TPU_BENCH_REGIMES": "60,0"},
     },
     {
         "label": "llava_7b_8bit_16slot_int8kv",
-        "recipe": "LLaVA-7B 8bit noout, 16 slots, int8 KV",
+        "recipe": "LLaVA-7B 8bit noout, 16 slots, admit 4, int8 KV",
         "env": {"VLM_TPU_BENCH_MODEL": "llava",
                 "VLM_TPU_BENCH_QUANT": "8bit",
                 "VLM_TPU_INT8_PREFILL": "dynamic_noout",
                 "VLM_TPU_KV_CACHE": "int8",
                 "VLM_TPU_BENCH_BATCH": "16",
                 "VLM_TPU_BENCH_N": "192",
+                "VLM_TPU_BENCH_ADMIT": "4",
                 "VLM_TPU_BENCH_REGIMES": "0,60"},
     },
 ]

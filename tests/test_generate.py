@@ -396,6 +396,22 @@ class TestSplitAdmission:
         assert got == ref
 
 
+class TestAdmitDefault:
+    def test_default_admit_block_formula(self):
+        """Default admission block is clamp(batch//8, 4, 8) — every
+        measured-best point of the round-5 v5e sweep (B=128→8, B=64→8,
+        B=16→4) — never exceeding batch_size for tiny batches."""
+        from vlm_tpu.models.configs import paligemma_config
+
+        cfg = paligemma_config("test")
+        module, _ = init_vlm(cfg, jax.random.key(0), dtype=jnp.float32)
+        for batch, want in [(128, 8), (64, 8), (32, 4), (16, 4),
+                            (8, 4), (4, 4), (2, 2), (1, 1)]:
+            b = ContinuousBatcher(module, cfg, batch_size=batch,
+                                  max_prompt_len=8, max_new_tokens=2)
+            assert b.admit_block == want, (batch, b.admit_block)
+
+
 class TestSampling:
     def test_greedy_is_argmax(self):
         import jax
