@@ -27,13 +27,14 @@ Output: ONE JSON line on stdout:
 Artifact durability (round-5 contract): the JSON line is guaranteed even if
 the driver kills this process mid-run. Three layers:
   1. an internal wall-clock budget (``VLM_TPU_BENCH_BUDGET_S``, default
-     1200 s — sized under the driver's observed kill window: the round-4
-     run was SIGTERMed somewhere in [~1200, ~2200] s, so 1200 + exit
-     slack keeps rc = 0 even at the pessimistic end) — variants and extra
-     prompt regimes are *skipped with a recorded reason* rather than run
-     past the deadline (the per-family numbers are also committed as
-     FAMILIES.json via scripts/bench_families.py, so a skipped variant
-     row loses nothing permanent);
+     1140 s — sized under the driver's observed kill window: the round-4
+     run was SIGTERMed somewhere in [~1200, ~2200] s, so 1140 + the hard
+     per-child deadline (``EXIT_SLACK_S``) keeps the process exit — and
+     therefore rc = 0 — before 1200 s even at the pessimistic end) —
+     variants and extra prompt regimes are *skipped with a recorded
+     reason* rather than run past the deadline (the per-family numbers
+     are also committed as FAMILIES.json via scripts/bench_families.py,
+     so a skipped variant row loses nothing permanent);
   2. the result dict is built incrementally and emitted exactly once by an
      ``atexit`` hook, so any normal exit path prints it;
   3. a SIGTERM/SIGINT handler emits the best-known partial result and exits
@@ -103,7 +104,13 @@ from vlm_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 _START = time.monotonic()
-BUDGET_S = float(os.environ.get("VLM_TPU_BENCH_BUDGET_S", "1200"))
+# Default sized under the driver's observed kill window (round 4: SIGTERM
+# somewhere in [~1200, ~2200] s): 1140 s of measurement + the hard
+# variant-child deadline (EXIT_SLACK_S) keeps the PROCESS EXIT before
+# 1200 s even when a cold compile cache makes every phase slow — the
+# round-5 validation run showed the old 1200 s budget + slack child
+# backstop leaking to 1285 s+ of wall clock.
+BUDGET_S = float(os.environ.get("VLM_TPU_BENCH_BUDGET_S", "1140"))
 
 
 def elapsed() -> float:
@@ -142,9 +149,15 @@ def _on_term(signum, frame):  # noqa: ARG001
     os._exit(0)
 
 
-signal.signal(signal.SIGTERM, _on_term)
-signal.signal(signal.SIGINT, _on_term)
-atexit.register(_emit)
+def install_artifact_guards():
+    """Install the emit-on-exit guards (atexit + SIGTERM/SIGINT handlers).
+
+    Called from script mode only — library importers (tests drive
+    run_variants in-process) must not have their process's signal
+    handlers/atexit hijacked by a bench import."""
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    atexit.register(_emit)
 
 
 def log(*a):
@@ -562,6 +575,10 @@ VARIANT_KNOB_DEFAULTS = {
 # (~100-200 s full-size) + batcher compile + >=1 rep. Below this, skip.
 MIN_VARIANT_S = 240.0
 
+# Wall-clock the parent reserves for winding a child down (SIGTERM grace +
+# emit + exit). The parent exits within ~this of BUDGET_S.
+EXIT_SLACK_S = 45.0
+
 
 def run_variants():
     """Run each family recipe in a fresh subprocess and collect its rows.
@@ -575,13 +592,24 @@ def run_variants():
     still exit with a complete JSON line.
 
     A failed/timed-out variant records its error instead of killing the
-    headline result — the driver's artifact degrades row-by-row."""
+    headline result — the driver's artifact degrades row-by-row.
+
+    Hard deadline discipline (learned the hard way in round 5's cold-cache
+    validation run): the child's *internal* budget only stops it starting
+    new reps/regimes — a cold batcher compile or an in-flight rep can
+    overshoot it by minutes, and a slack subprocess backstop then pushes
+    the PARENT past its own budget (observed: parent still alive at 1285 s
+    of a 1200 s budget → driver rc=124 even though the JSON was emitted).
+    So the parent now enforces an absolute deadline per child: at
+    ``remaining() - EXIT_SLACK_S`` the child gets SIGTERM — its own signal
+    handler emits a partial-but-parseable row — then 15 s later SIGKILL.
+    The parent therefore always exits within ~EXIT_SLACK_S of BUDGET_S."""
     import subprocess
     rows = []
     observed_walls = []
     for v in VARIANTS:
         est = max([MIN_VARIANT_S] + observed_walls)
-        if remaining() < est + 30:
+        if remaining() < est + EXIT_SLACK_S:
             log(f"[bench] budget: skipping variant {v['label']} "
                 f"({remaining():.0f}s left, est {est:.0f}s)")
             rows.append({"label": v["label"], "recipe": v["recipe"],
@@ -591,7 +619,12 @@ def run_variants():
         env.update(VARIANT_KNOB_DEFAULTS)
         env.update(v["env"])
         env = {k: val for k, val in env.items() if val != ""}
-        child_budget = max(60.0, remaining() - 30.0)
+        # The child's internal budget is advisory (it can overshoot on a
+        # long compile); the parent's SIGTERM at child_deadline is the
+        # real bound. Budget the child under the deadline so well-behaved
+        # children finish on their own.
+        child_deadline = max(30.0, remaining() - EXIT_SLACK_S)
+        child_budget = max(30.0, child_deadline - 30.0)
         env.update({
             "VLM_TPU_BENCH_VARIANTS": "0",   # no recursion
             "VLM_TPU_BENCH_SEQ_N": "0",      # structural ratio is headline's
@@ -599,33 +632,43 @@ def run_variants():
             "VLM_TPU_BENCH_BUDGET_S": f"{child_budget:.0f}",
         })
         log(f"[bench] variant {v['label']}: starting subprocess "
-            f"(child budget {child_budget:.0f}s)")
+            f"(child budget {child_budget:.0f}s, "
+            f"deadline {child_deadline:.0f}s)")
         t0 = time.perf_counter()
-        out = None
+        stdout_text, stderr_text, err = "", "", None
+        proc = subprocess.Popen(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
         try:
-            # Child exits on its own inside child_budget (its atexit emits
-            # the JSON); the subprocess timeout is a generous backstop —
-            # hitting it SIGKILLs the child, so it must stay slack.
-            out = subprocess.run(
-                [sys.executable, str(Path(__file__).resolve())],
-                env=env, capture_output=True, text=True,
-                timeout=child_budget + 180)
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() \
-                else ""
+            stdout_text, stderr_text = proc.communicate(
+                timeout=child_deadline)
+        except subprocess.TimeoutExpired:
+            # Deadline: SIGTERM → the child's handler emits its partial
+            # JSON row; SIGKILL only if it ignores that too.
+            proc.terminate()
+            try:
+                stdout_text, stderr_text = proc.communicate(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout_text, stderr_text = proc.communicate()
+            err = "deadline (SIGTERM)"
+        try:
+            line = stdout_text.strip().splitlines()[-1] \
+                if stdout_text.strip() else ""
             row = json.loads(line)
             row["label"] = v["label"]
             row["recipe"] = v["recipe"]
             row["wall_s"] = round(time.perf_counter() - t0, 1)
-            observed_walls.append(row["wall_s"])
+            if err:
+                row["deadline_hit"] = err
+            else:
+                observed_walls.append(row["wall_s"])
         except Exception as e:  # noqa: BLE001 — degrade row-by-row
-            stderr = getattr(e, "stderr", None) or \
-                (out.stderr if out is not None else "") or ""
-            if isinstance(stderr, bytes):
-                stderr = stderr.decode("utf-8", "replace")
-            tail = stderr.strip().splitlines()[-1][:300] \
-                if stderr.strip() else ""
+            tail = stderr_text.strip().splitlines()[-1][:300] \
+                if stderr_text.strip() else ""
             row = {"label": v["label"], "recipe": v["recipe"],
-                   "error": f"{type(e).__name__}: {e}"[:300],
+                   "error": err or f"{type(e).__name__}: {e}"[:300],
                    "stderr_tail": tail}
         log(f"[bench] variant {v['label']}: "
             f"{row.get('value', row.get('error', row.get('skipped')))}")
@@ -638,5 +681,6 @@ if __name__ == "__main__":
     # Contract: stdout carries EXACTLY one JSON line. Library status prints
     # (model-ready, sharding notices, parse warnings) are routed to stderr
     # for the bench process only; the final JSON goes to sys.__stdout__.
+    install_artifact_guards()
     sys.stdout = sys.stderr
     main()

@@ -124,3 +124,73 @@ def test_bench_sigterm_still_emits_json():
     payload = _one_json_line(out)
     assert "terminated" in payload
     assert payload["terminated"].startswith("signal 15")
+
+
+def _tiny_variant(label, extra_env=None):
+    env = dict(TINY_ENV)
+    env["VLM_TPU_PLATFORM"] = "cpu"
+    env.update(extra_env or {})
+    return {"label": label, "recipe": "tiny test recipe", "env": env}
+
+
+def test_run_variants_child_row_parses(monkeypatch):
+    """run_variants: a child that fits the budget yields a parsed row with
+    the measurement fields and its observed wall time."""
+    import bench
+
+    monkeypatch.setattr(bench, "VARIANTS", [_tiny_variant("v_ok")])
+    monkeypatch.setattr(bench, "MIN_VARIANT_S", 30.0)
+    monkeypatch.setattr(bench, "BUDGET_S", bench.elapsed() + 300.0)
+    rows = bench.run_variants()
+    (ok,) = rows
+    assert ok["label"] == "v_ok"
+    assert ok.get("value", 0) > 0, ok
+    assert "wall_s" in ok
+
+
+def test_run_variants_budget_skip_is_explicit(monkeypatch):
+    """A variant whose cost estimate exceeds the remaining budget is
+    recorded as a skipped row — never launched, never silent."""
+    import bench
+
+    monkeypatch.setattr(bench, "VARIANTS", [_tiny_variant("v_skipped")])
+    monkeypatch.setattr(bench, "MIN_VARIANT_S", 200.0)
+    monkeypatch.setattr(bench, "BUDGET_S", bench.elapsed() + 100.0)
+    t0 = time.monotonic()
+    rows = bench.run_variants()
+    (skipped,) = rows
+    assert skipped["label"] == "v_skipped"
+    assert skipped["skipped"].startswith("budget")
+    assert time.monotonic() - t0 < 5  # skipped, not run
+
+
+def test_run_variants_deadline_sigterm_preserves_child_row(monkeypatch):
+    """The parent's absolute deadline SIGTERMs an over-running child and
+    still collects its partial-but-parseable row — the round-5 fix for the
+    parent leaking past BUDGET_S behind a slack child backstop."""
+    import bench
+
+    # The child's internal budget can truncate BETWEEN reps (and then it
+    # finishes inside the deadline on its own — the well-behaved path the
+    # other tests cover), so force a single rep far longer than the
+    # deadline: only the parent's SIGTERM can end it.
+    slow = _tiny_variant("v_deadline", {
+        "VLM_TPU_BENCH_N": "20000", "VLM_TPU_BENCH_TOKENS": "40",
+        "VLM_TPU_BENCH_REPS": "2"})
+    monkeypatch.setattr(bench, "VARIANTS", [slow])
+    monkeypatch.setattr(bench, "MIN_VARIANT_S", 1.0)
+    monkeypatch.setattr(bench, "EXIT_SLACK_S", 5.0)
+    monkeypatch.setattr(bench, "BUDGET_S", bench.elapsed() + 25.0)
+    t0 = time.monotonic()
+    rows = bench.run_variants()
+    wall = time.monotonic() - t0
+    (row,) = rows
+    assert row["label"] == "v_deadline"
+    # Either the child's handler emitted its partial JSON (parsed →
+    # deadline_hit marker) or the child died pre-handler (error record).
+    assert "deadline_hit" in row or "error" in row, row
+    if "deadline_hit" in row:
+        assert "terminated" in row, row  # child signal-handler marker
+    # Parent honored the absolute deadline: ~30 s deadline floor +
+    # 15 s SIGTERM grace + margin.
+    assert wall < 75, wall

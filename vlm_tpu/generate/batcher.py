@@ -110,7 +110,9 @@ class ContinuousBatcher:
         # at 8 (8bit 86.8 img/s vs 77.7 at the old B//4=32; bf16 61.3 vs
         # 56.3), B=64 best at 8 (32.8 vs 32.1 at 16), B=16 best at 4
         # (admit 2 degrades severely). clamp(B//8, 4, 8) hits every
-        # measured best.
+        # measured best at the recipe batch sizes; above 128 slots the
+        # cap of 8 is measurably low (B=192: admit 16 beats admit 8 by
+        # +4.7%) — pass admit_block explicitly for oversized batches.
         self.admit_block = admit_block or min(
             batch_size, max(4, min(8, batch_size // 8)))
         if not 1 <= self.admit_block <= batch_size:
