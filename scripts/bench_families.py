@@ -48,18 +48,33 @@ def run_one(env_overrides: dict, budget_s: float) -> dict:
         "VLM_TPU_BENCH_BUDGET_S": f"{budget_s:.0f}",
     })
     t0 = time.perf_counter()
+    # SIGTERM-first deadline (same as bench.run_variants): the child's
+    # internal budget only stops it STARTING new reps/regimes — a cold
+    # compile can overshoot it by minutes, and a subprocess.run timeout
+    # would SIGKILL, losing the partial JSON the child's handler emits.
+    stdout_text, stderr_text, err = "", "", None
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO_ROOT / "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     try:
-        out = subprocess.run(
-            [sys.executable, str(REPO_ROOT / "bench.py")],
-            env=env, capture_output=True, text=True, timeout=budget_s + 180)
-        line = out.stdout.strip().splitlines()[-1]
+        stdout_text, stderr_text = proc.communicate(timeout=budget_s + 180)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            stdout_text, stderr_text = proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            stdout_text, stderr_text = proc.communicate()
+        err = "deadline (SIGTERM)"
+    try:
+        line = stdout_text.strip().splitlines()[-1]
         row = json.loads(line)
+        if err:
+            row["deadline_hit"] = err
     except Exception as e:  # noqa: BLE001 — degrade row-by-row
-        stderr = getattr(e, "stderr", None) or ""
-        if isinstance(stderr, bytes):
-            stderr = stderr.decode("utf-8", "replace")
-        tail = stderr.strip().splitlines()[-1][:300] if stderr.strip() else ""
-        row = {"error": f"{type(e).__name__}: {e}"[:300],
+        tail = stderr_text.strip().splitlines()[-1][:300] \
+            if stderr_text.strip() else ""
+        row = {"error": err or f"{type(e).__name__}: {e}"[:300],
                "stderr_tail": tail}
     row["wall_s"] = round(time.perf_counter() - t0, 1)
     return row
@@ -72,27 +87,45 @@ def main() -> int:
                     help="also measure the paligemma bf16 headline config")
     ap.add_argument("--budget-s", type=float, default=1200.0,
                     help="per-recipe wall-clock budget (subprocess)")
+    ap.add_argument("--only", default="",
+                    help="label substring filter; with an existing --out "
+                         "file, matching rows are re-measured in place and "
+                         "the others kept (repair mode)")
     args = ap.parse_args()
 
     doc = {"rows": [], "protocol":
            "bench.py reps/median(best-within-5%)/p50/p99; fresh subprocess "
            "per recipe; regimes: prompt_ids=0 byte-fallback, 60 realistic"}
-    if args.headline:
+    if args.only and Path(args.out).exists():
+        doc = json.loads(Path(args.out).read_text())
+
+    def upsert(row):
+        for i, r in enumerate(doc["rows"]):
+            if r.get("label") == row["label"]:
+                doc["rows"][i] = row
+                break
+        else:
+            doc["rows"].append(row)
+        Path(args.out).write_text(json.dumps(doc, indent=1))  # incremental
+
+    head_label = "paligemma_3b_bf16_headline"
+    if args.headline and (not args.only or args.only in head_label):
         log("[families] headline (paligemma 3b bf16)")
         row = run_one({"VLM_TPU_BENCH_REGIMES": "0,60"}, args.budget_s)
-        row["label"] = "paligemma_3b_bf16_headline"
+        row["label"] = head_label
         row["recipe"] = "headline: 3B bf16, 128 slots, bf16 KV"
-        doc["rows"].append(row)
+        upsert(row)
         log(f"[families] headline: {row.get('value', row.get('error'))}")
     for v in VARIANTS:
+        if args.only and args.only not in v["label"]:
+            continue
         log(f"[families] {v['label']}")
         row = run_one(v["env"], args.budget_s)
         row["label"] = v["label"]
         row["recipe"] = v["recipe"]
-        doc["rows"].append(row)
+        upsert(row)
         log(f"[families] {v['label']}: "
             f"{row.get('value', row.get('error'))}")
-        Path(args.out).write_text(json.dumps(doc, indent=1))  # incremental
     Path(args.out).write_text(json.dumps(doc, indent=1))
     print(json.dumps(doc))
     return 0
